@@ -1,0 +1,132 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Canonicalizer fixtures lifted from the reference's normalizer test table
+  * (reference: src/plugin/urlnormalizer-basic/src/test/.../TestBasicURLNormalizer.java:38-106)
+  * plus reverseUrl round-trip properties (util/TableUtil.java:53-104).
+  */
+class UrlsSpec extends AnyFunSuite {
+
+  /** Deterministic mini property runner (no scalatestplus bridge offline). */
+  private def forAll[T](gen: Gen[T], n: Int = 300)(f: T => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(42L + i)).foreach(f)
+    }
+
+  private val table = Seq(
+    " http://foo.com/ " -> "http://foo.com/",
+    "HTTP://foo.com/" -> "http://foo.com/",
+    "http://Foo.Com/index.html" -> "http://foo.com/index.html",
+    "http://foo.com:80/index.html" -> "http://foo.com/index.html",
+    "http://foo.com:81/" -> "http://foo.com:81/",
+    "http://foo.com" -> "http://foo.com/",
+    "http://foo.com/foo.html#ref" -> "http://foo.com/foo.html",
+    "http://foo.com/aa/./foo.html" -> "http://foo.com/aa/foo.html",
+    "http://foo.com/aa/../" -> "http://foo.com/",
+    "http://foo.com/aa/bb/../" -> "http://foo.com/aa/",
+    "http://foo.com/aa/.." -> "http://foo.com/aa/..",
+    "http://foo.com/aa/bb/cc/../../foo.html" -> "http://foo.com/aa/foo.html",
+    "http://foo.com/aa/bb/../cc/dd/../ee/foo.html" ->
+      "http://foo.com/aa/cc/ee/foo.html",
+    "http://foo.com/../foo.html" -> "http://foo.com/foo.html",
+    "http://foo.com/../../foo.html" -> "http://foo.com/foo.html",
+    "http://foo.com/../aa/../foo.html" -> "http://foo.com/foo.html",
+    "http://foo.com/aa/../../foo.html" -> "http://foo.com/foo.html",
+    "http://foo.com/aa/../bb/../foo.html/../../" -> "http://foo.com/",
+    "http://foo.com/../aa/foo.html" -> "http://foo.com/aa/foo.html",
+    "http://foo.com/a..a/foo.html" -> "http://foo.com/a..a/foo.html",
+    "http://foo.com/a..a/../foo.html" -> "http://foo.com/foo.html",
+    "http://foo.com/foo.foo/../foo.html" -> "http://foo.com/foo.html",
+    "http://foo.com//aa/bb/foo.html" -> "http://foo.com/aa/bb/foo.html",
+    "http://foo.com/aa//bb/foo.html" -> "http://foo.com/aa/bb/foo.html",
+    "http://foo.com/aa/bb//foo.html" -> "http://foo.com/aa/bb/foo.html",
+    "http://foo.com//aa//bb//foo.html" -> "http://foo.com/aa/bb/foo.html",
+    "http://foo.com////aa////bb////foo.html" -> "http://foo.com/aa/bb/foo.html")
+
+  test("canonicalize matches the reference normalizer table") {
+    table.foreach { case (weird, normal) =>
+      assert(Urls.canonicalize(weird) === Some(normal), s"input: '$weird'")
+    }
+  }
+
+  test("canonicalize rejects non-http schemes and garbage") {
+    assert(Urls.canonicalize("ftp://foo.com/a") === None)
+    assert(Urls.canonicalize("file:///etc/passwd") === None)
+    assert(Urls.canonicalize("mailto:a@b.com") === None)
+    assert(Urls.canonicalize("not a url") === None)
+    assert(Urls.canonicalize("") === None)
+    assert(Urls.canonicalize("https://foo.com:443/x") === Some("https://foo.com/x"))
+  }
+
+  test("canonicalize strips session ids but keeps real params") {
+    assert(Urls.canonicalize("http://a.com/p?JSESSIONID=abc&x=1") ===
+      Some("http://a.com/p?x=1"))
+    assert(Urls.canonicalize("http://a.com/p?sid=9") === Some("http://a.com/p"))
+  }
+
+  test("canonicalize is idempotent on the fixture table") {
+    table.foreach { case (_, normal) =>
+      assert(Urls.canonicalize(normal) === Some(normal))
+    }
+  }
+
+  test("reverseUrl matches the reference example") {
+    // util/TableUtil.java:47-52 javadoc example
+    assert(Urls.reverseUrl("http://bar.foo.com:8983/to/index.html?a=b") ===
+      "com.foo.bar:http:8983/to/index.html?a=b")
+    assert(Urls.unreverseUrl("com.foo.bar:http:8983/to/index.html?a=b") ===
+      "http://bar.foo.com:8983/to/index.html?a=b")
+  }
+
+  private val hostGen: Gen[String] = for {
+    n <- Gen.choose(1, 4)
+    labels <- Gen.listOfN(n, Gen.choose(1, 8).flatMap(l =>
+      Gen.listOfN(l, Gen.alphaLowerChar).map(_.mkString)))
+  } yield labels.mkString(".")
+
+  private val urlGen: Gen[String] = for {
+    scheme <- Gen.oneOf("http", "https")
+    h <- hostGen
+    port <- Gen.oneOf("", ":81", ":8983")
+    depth <- Gen.choose(0, 4)
+    segs <- Gen.listOfN(depth, Gen.choose(1, 6).flatMap(l =>
+      Gen.listOfN(l, Gen.alphaNumChar).map(_.mkString)))
+    q <- Gen.oneOf("", "?a=b", "?x=1&y=2")
+  } yield s"$scheme://$h$port/${segs.mkString("/")}$q"
+
+  test("property: reverseUrl round-trips") {
+    forAll(urlGen) { url =>
+      assert(Urls.unreverseUrl(Urls.reverseUrl(url)) === url)
+    }
+  }
+
+  test("property: canonicalize is idempotent") {
+    forAll(urlGen) { url =>
+      Urls.canonicalize(url).foreach { c =>
+        assert(Urls.canonicalize(c) === Some(c))
+      }
+    }
+  }
+
+  test("host/domain extraction") {
+    assert(Urls.host("http://www.test-3.example:81/p/q?x=1") === "www.test-3.example")
+    assert(Urls.host("https://a.b.c/") === "a.b.c")
+    assert(Urls.host("http://[::1]:8080/x") === "[::1]") // bracketed IPv6
+    assert(Urls.domain("www.foo.com") === "foo.com")
+    assert(Urls.domain("a.b.site.co.uk") === "site.co.uk")
+    assert(Urls.domain("foo.com") === "foo.com")
+  }
+
+  test("resolveOutlink resolves relative links against the page URL") {
+    assert(Urls.resolveOutlink("http://a.com/d/p.html", "q.html") ===
+      Some("http://a.com/d/q.html"))
+    assert(Urls.resolveOutlink("http://a.com/d/p.html", "/r/s.html") ===
+      Some("http://a.com/r/s.html"))
+    assert(Urls.resolveOutlink("http://a.com/d/p.html", "HTTP://B.com/x") ===
+      Some("http://b.com/x"))
+    assert(Urls.resolveOutlink("http://a.com/", "mailto:x@y.z") === None)
+  }
+}
