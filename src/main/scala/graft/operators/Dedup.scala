@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.XxHash64
+
+/** Near-duplicate detection for corpus curation: MinHash+LSH and SimHash.
+  *
+  * Both follow the shingle -> hash -> band -> bucket-join shape: candidate
+  * generation is an equi-join on a band key (one hash-partitioned shuffle,
+  * no |N|^2 pair scan), then candidates are verified exactly. The verify
+  * stage bounds false positives; banding bounds the join fan-out — this is
+  * what survives a 100x scale-up where a cross join does not.
+  *
+  * The reference's analog is signature-based change detection
+  * (reference: crawl/TextProfileSignature.java:56-150 — quantized
+  * term-profile hashing) generalized to cross-document near-dup search.
+  */
+object Dedup {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** Word shingles (n-grams of tokens) of a text. */
+  def shingles(text: String, n: Int = 3): Array[String] = {
+    val toks = text.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) Array(toks.mkString(" "))
+    else toks.sliding(n).map(_.mkString(" ")).toArray
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions, the
+    * minimum XXH64 over the shingle set. Pure and deterministic.
+    */
+  def minHashSignature(text: String, numHashes: Int = 32, shingleLen: Int = 3)
+      : Array[Long] = {
+    val sh = shingles(text, shingleLen)
+    Array.tabulate(numHashes) { i =>
+      var min = Long.MaxValue
+      var j = 0
+      while (j < sh.length) {
+        val h = XxHash64.hashUtf8(sh(j), i.toLong)
+        if (h < min) min = h
+        j += 1
+      }
+      min
+    }
+  }
+
+  /** Exact Jaccard over shingle sets (verification stage). */
+  def jaccard(a: Array[String], b: Array[String]): Double = {
+    val sa = a.toSet
+    val sb = b.toSet
+    if (sa.isEmpty && sb.isEmpty) 1.0
+    else sa.intersect(sb).size.toDouble / sa.union(sb).size.toDouble
+  }
+
+  /** MinHash+LSH near-dup pairs: band the signature (bands x rows = total
+    * hashes), bucket-join on (band index, band hash), verify candidates
+    * with exact shingle Jaccard >= threshold.
+    */
+  def minHashPairs(s: SparkSession, dir: String, numHashes: Int = 32,
+      bands: Int = 8, shingleLen: Int = 3, threshold: Double = 0.5)
+      : DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sigUdf = udf((t: String) => minHashSignature(t, numHashes, shingleLen))
+    val shUdf = udf((t: String) => shingles(t, shingleLen).distinct)
+    val d = docs(s, dir).select(col("doc_id"),
+      sigUdf(col("text")).as("sig"), shUdf(col("text")).as("sh"))
+
+    // band key: hash of each signature slice, exploded to (doc, band, key)
+    val banded = d.select(col("doc_id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        xxhash64(b, slice(col("sig"), b * rowsPerBand + lit(1),
+          lit(rowsPerBand)).cast("string")))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+
+    val a = banded.select(col("band"), col("bkey"),
+      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("bkey"),
+      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val jac = udf((x: Seq[String], y: Seq[String]) =>
+      jaccard(x.toArray, y.toArray))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("doc_a", "doc_b") // a pair may collide in many bands
+      .select(col("doc_a"), col("doc_b"),
+        round(jac(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash of a token multiset: weighted sign-sum of token-hash
+    * bits. Near-identical texts differ in few bits.
+    */
+  def simHash(text: String): Long = {
+    val acc = new Array[Int](64)
+    text.split("\\s+").filter(_.nonEmpty).foreach { tok =>
+      val h = XxHash64.hashUtf8(tok, 5L)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
+        i += 1
+      }
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) {
+      if (acc(i) > 0) out |= (1L << i)
+      i += 1
+    }
+    out
+  }
+
+  /** SimHash near-dup pairs: 4 bands of 16 bits as bucket keys (any pair
+    * within Hamming distance <= 3 of a 64-bit hash shares at least one of
+    * 4 bands by pigeonhole... for distance <= 3 across 4 bands), verified
+    * with bit_count(xor) <= maxHamming.
+    */
+  def simHashPairs(s: SparkSession, dir: String, maxHamming: Int = 3)
+      : DataFrame = {
+    val shUdf = udf(simHash _)
+    val d = docs(s, dir).select(col("doc_id"), shUdf(col("text")).as("sh"))
+    val banded = d.select(col("doc_id"), col("sh"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    val a = banded.select(col("band"), col("bkey"), col("doc_id").as("doc_a"),
+      col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("bkey"), col("doc_id").as("doc_b"),
+      col("sh").as("sh_b"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_minhash_pairs" -> ((s, d) => minHashPairs(s, d)),
+    "q_simhash_pairs" -> ((s, d) => simHashPairs(s, d)))
+}

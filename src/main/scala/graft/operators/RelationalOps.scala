@@ -1,0 +1,213 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Crawl-db analytics operators re-expressed over the harness's TPC-H-ish
+  * tables so the driver's DuckDB oracle can verify them (SURVEY.md §2.4-2.7:
+  * A1 stats, A2/O1/O2 generate top-k, A3 host agg, A4 min-fold, A6/D4 window
+  * dedup, J1 merge join, D1 seen-set anti-join, D3 signature dedup).
+  *
+  * Scale notes (100 TB discipline): every aggregate here is a partial+final
+  * hash aggregate (map-side combine for free); the top-k queries shuffle
+  * once for the window and use TakeOrderedAndProject for the global limit;
+  * the merge join pattern pre-aggregates the fact side BEFORE the join so
+  * the join input is |keys|, not |rows|; small dims (nation) broadcast.
+  * All float aggregates are rounded in-query — cross-engine bit parity.
+  */
+object RelationalOps {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** A1: status histogram (WebTableReader.processStatJob status counts,
+    * reference crawl/WebTableReader.java:70-215).
+    */
+  def statsStatus(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** A1: global min/max/avg stats with partial aggregation
+    * (WebTableReader score stats incl. combiner, :102-144).
+    */
+  def statsGlobal(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").agg(
+      count(lit(1)).as("t"),
+      round(min(col("l_quantity")), 2).as("min_q"),
+      round(max(col("l_quantity")), 2).as("max_q"),
+      round(avg(col("l_quantity")), 6).as("avg_q"),
+      round(sum(col("l_extendedprice")), 2).as("sum_price"))
+
+  /** A2 + O1 + O2: the generate fetchlist shape — per-key cap via ranked
+    * window (GeneratorReducer per-host caps, reference
+    * crawl/GeneratorReducer.java:43-101) then exact global score-desc top-N
+    * (SelectorEntry sort, GeneratorJob.java:92-98). Tie-broken on key for
+    * determinism. One shuffle (window) + TakeOrderedAndProject.
+    */
+  def generateTopK(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("price"))
+  }
+
+  /** A6/D4: keep-newest dedup by key (SolrDeleteDuplicates semantics,
+    * reference indexer/solr/SolrDeleteDuplicates.java:54-120).
+    */
+  def dedupLatest(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    t(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event"),
+        col("event_type"), round(col("value"), 2).as("value"))
+  }
+
+  /** A3: host-level aggregation (HostDbUpdate group-by-host counts,
+    * reference host/HostDbUpdateReducer.java:39-80). nation is a small dim:
+    * broadcast join, no shuffle on the dim side.
+    */
+  def hostAgg(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val o = t(s, dir, "orders")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(o, c("c_custkey") === o("o_custkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        countDistinct(col("c_custkey")).as("customers"),
+        count(col("o_orderkey")).as("orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+  }
+
+  /** J1: the updatedb merge-join shape — pre-aggregate the discovered side
+    * (explode+groupBy analog), then full outer join with the frontier
+    * (reference crawl/DbUpdateReducer.java:102-274). Aggregating BEFORE the
+    * join keeps the join input at |keys|; at 10^10 rows that is the
+    * difference between a feasible and an impossible shuffle.
+    */
+  def updateMerge(s: SparkSession, dir: String): DataFrame = {
+    val links = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("links"), round(sum(col("l_quantity")), 2).as("qty"))
+    val o = t(s, dir, "orders")
+    o.join(links, o("o_orderkey") === links("l_orderkey"), "full_outer")
+      .select(
+        coalesce(o("o_orderkey"), links("l_orderkey")).as("okey"),
+        coalesce(col("links"), lit(0L)).as("links"),
+        coalesce(col("qty"), lit(0.0)).as("qty"),
+        coalesce(o("o_orderstatus"), lit("NEW")).as("status"))
+  }
+
+  /** J1 inlink cap: per-key top-K by score (db.update.max.inlinks bound,
+    * reference DbUpdateReducer.java:78,144-148 + UrlWithScore secondary sort).
+    */
+  def inlinkTopK(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_extendedprice").desc, col("l_linenumber").asc)
+    t(s, dir, "lineitem")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice"), 2).as("price"))
+  }
+
+  /** A4: min-fold per key (min inlink distance, DbUpdateReducer.java:235-250). */
+  def minDistance(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(min(col("l_shipdate")).as("first_ship"), count(lit(1)).as("cnt"))
+
+  /** D1: URL-seen anti-join (new-outlink discovery against frontier keys;
+    * the reference gets this implicitly from HBase upsert, S4). left_anti
+    * is the exactness path behind the bloom fast-path.
+    */
+  def seenAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val recent = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+    c.join(recent, c("c_custkey") === recent("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  /** A1: histogram + numeric stats by category (retries histogram shape). */
+  def eventHistogram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("total"),
+        round(avg(col("value")), 6).as("avg_value"))
+
+  /** T-analog: tumbling-window aggregation over the event stream (batch
+    * form of the Structured Streaming windowed agg; streaming variant
+    * exercised in StreamingSpec).
+    */
+  def streamWindow(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("total"))
+      .select(col("w.start").as("ws"), col("event_type"), col("cnt"),
+        col("total"))
+
+  val oracles: Map[String, String] = Map(
+    "q_stats_status" ->
+      "SELECT o_orderstatus AS status, count(*) AS cnt FROM orders GROUP BY o_orderstatus",
+    "q_stats_global" ->
+      ("SELECT count(*) AS t, round(min(l_quantity), 2) AS min_q, " +
+        "round(max(l_quantity), 2) AS max_q, round(avg(l_quantity), 6) AS avg_q, " +
+        "round(sum(l_extendedprice), 2) AS sum_price FROM lineitem"),
+    "q_generate_topk" ->
+      ("SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price FROM (" +
+        "SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn " +
+        "FROM orders) WHERE rn <= 3 ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100"),
+    "q_dedup_latest" ->
+      ("SELECT user_id, event_id AS last_event, event_type, round(value, 2) AS value FROM (" +
+        "SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn " +
+        "FROM events) WHERE rn = 1"),
+    "q_host_agg" ->
+      ("SELECT n_name, count(DISTINCT c_custkey) AS customers, count(o_orderkey) AS orders, " +
+        "round(sum(o_totalprice), 2) AS revenue FROM customer " +
+        "JOIN nation ON c_nationkey = n_nationkey JOIN orders ON c_custkey = o_custkey " +
+        "GROUP BY n_name"),
+    "q_update_merge" ->
+      ("SELECT coalesce(o_orderkey, l_orderkey) AS okey, coalesce(links, 0) AS links, " +
+        "coalesce(qty, 0.0) AS qty, coalesce(o_orderstatus, 'NEW') AS status FROM orders " +
+        "FULL JOIN (SELECT l_orderkey, count(*) AS links, round(sum(l_quantity), 2) AS qty " +
+        "FROM lineitem GROUP BY l_orderkey) ON o_orderkey = l_orderkey"),
+    "q_inlink_topk" ->
+      ("SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price FROM (" +
+        "SELECT *, row_number() OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rn " +
+        "FROM lineitem) WHERE rn <= 2"),
+    "q_min_distance" ->
+      "SELECT l_partkey, min(l_shipdate) AS first_ship, count(*) AS cnt FROM lineitem GROUP BY l_partkey",
+    "q_seen_anti_join" ->
+      ("SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+        "AND o_orderdate >= TIMESTAMP '2000-01-01')"),
+    "q_event_histogram" ->
+      ("SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS total, " +
+        "round(avg(value), 6) AS avg_value FROM events GROUP BY event_type"),
+    "q_stream_window" ->
+      ("SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS cnt, " +
+        "round(sum(value), 2) AS total FROM events GROUP BY 1, 2"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stats_status" -> statsStatus _,
+    "q_stats_global" -> statsGlobal _,
+    "q_generate_topk" -> generateTopK _,
+    "q_dedup_latest" -> dedupLatest _,
+    "q_host_agg" -> hostAgg _,
+    "q_update_merge" -> updateMerge _,
+    "q_inlink_topk" -> inlinkTopK _,
+    "q_min_distance" -> minDistance _,
+    "q_seen_anti_join" -> seenAntiJoin _,
+    "q_event_histogram" -> eventHistogram _,
+    "q_stream_window" -> streamWindow _)
+}

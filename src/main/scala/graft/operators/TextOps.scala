@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: token counting, quality scoring, n-gram Jaccard
+  * similarity, language ID, and document fingerprinting.
+  *
+  * The reference's text analytics are its word-frequency scoring rules
+  * (reference: parse/element/wordfre/WordFreqRule.java:15-39,
+  * WordFreqAttrCalc.java:13-47) and TextProfileSignature
+  * (crawl/TextProfileSignature.java:56-150); these operators generalize the
+  * same tokenize→hash→aggregate shape to corpus curation at 100 TB:
+  * everything is per-row narrow work (codegen'd `functions._` lambdas) or
+  * a single hash-partitioned shuffle — no driver-side state.
+  */
+object TextOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** Non-empty whitespace tokens, as a reusable Column. Codegen'd higher-
+    * order functions — no UDF in the hot path.
+    */
+  def tokensCol(text: Column): Column =
+    filter(split(text, " "), x => x =!= lit(""))
+
+  /** Token counting (whitespace tokens + a BPE-ish subword estimate:
+    * ceil(chars/4) is the standard rough BPE token estimate).
+    */
+  def tokenCount(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      size(tokensCol(col("text"))).as("n_tokens"),
+      ceil(length(col("text")) / 4.0).cast("long").as("bpe_est"),
+      col("n_chars"))
+
+  private val stopwords = Seq("the", "a", "of", "and", "in", "to")
+
+  /** Quality scoring: token count, stopword count/ratio, mean word length,
+    * punctuation count — the length/punct/stopword-ratio heuristics used to
+    * filter web corpora.
+    */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokensCol(col("text"))
+    val stop = filter(toks, x => x.isInCollection(stopwords))
+    docs(s, dir).select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      size(stop).as("n_stop"),
+      round(size(stop) / greatest(size(toks), lit(1)).cast("double"), 4)
+        .as("stop_ratio"),
+      round(length(regexp_replace(col("text"), " ", "")) /
+        greatest(size(toks), lit(1)).cast("double"), 4).as("mean_word_len"))
+  }
+
+  /** Exact near-duplicate scoring by n-gram Jaccard within a blocking key
+    * (`source`). The blocked self-join is the exact-verification stage of
+    * the MinHash pipeline (Dedup.minHashPairs); at scale the block bounds
+    * the pair count — an unblocked self-join would be |docs|^2.
+    */
+  def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("source"),
+      array_distinct(tokensCol(col("text"))).as("toks"))
+    val a = d.select(col("source"), col("doc_id").as("doc_a"),
+      col("toks").as("toks_a"))
+    val b = d.select(col("source"), col("doc_id").as("doc_b"),
+      col("toks").as("toks_b"))
+    a.join(b, Seq("source"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(
+          size(array_intersect(col("toks_a"), col("toks_b"))) /
+            size(array_union(col("toks_a"), col("toks_b"))).cast("double"),
+          4).as("jaccard"))
+      .filter(col("jaccard") >= 0.2)
+  }
+
+  /** Exact dedup by content signature (D3: MD5 signature, reference
+    * crawl/MD5Signature.java:32-50): group identical texts, keep the
+    * smallest doc_id as canonical.
+    */
+  def exactDedup(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(md5(col("text").cast("binary")).as("sig"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n"))
+
+  // --- language ID (n-gram heuristic; no SQL oracle — spec-tested) ---
+
+  /** Tiny trigram-profile language identifier. Deterministic, pure; the
+    * profiles are hand-built from characteristic function words. Returns
+    * ISO code or "und".
+    */
+  private[operators] val langMarkers: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "and", "of", "to", "in", "is", "that", "with"),
+    "de" -> Set("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "fr" -> Set("le", "la", "les", "et", "est", "pas", "une", "dans"),
+    "es" -> Set("el", "la", "los", "las", "es", "una", "para", "como"),
+    "zh" -> Set.empty) // zh detected by CJK codepoint ratio, not tokens
+
+  def detectLang(text: String): String = {
+    if (text == null || text.isEmpty) return "und"
+    val cjk = text.codePoints.toArray.count(cp =>
+      Character.UnicodeScript.of(cp) == Character.UnicodeScript.HAN)
+    if (cjk * 5 >= text.length) return "zh"
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (toks.isEmpty) return "und"
+    val scores = langMarkers.collect {
+      case (lang, markers) if markers.nonEmpty =>
+        lang -> toks.count(markers.contains)
+    }
+    val (best, cnt) = scores.maxBy { case (l, c) => (c, l) }
+    if (cnt == 0) "und" else best
+  }
+
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val detect = udf(detectLang _)
+    docs(s, dir).select(col("doc_id"), col("lang"),
+      detect(col("text")).as("pred_lang"))
+  }
+
+  // --- document fingerprint (rolling hash; no SQL oracle — spec-tested) ---
+
+  /** Rabin-Karp rolling-hash document fingerprint: 64-bit polynomial hash
+    * over the character stream (h = h*B + c). Order-sensitive content
+    * identity — equal texts collide, distinct texts differ w.h.p. even over
+    * a tiny shared vocabulary (where bottom-k shingle sketches collide).
+    * Near-dup similarity is MinHash's job (Dedup.minHashPairs); this is the
+    * exact-identity key.
+    */
+  def fingerprint(text: String): Long = {
+    if (text == null) return 0L
+    val B = 1099511628211L // FNV64 prime as the rolling base
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < text.length) {
+      h = h * B + text.charAt(i)
+      i += 1
+    }
+    h
+  }
+
+  def fingerprints(s: SparkSession, dir: String): DataFrame = {
+    val fp = udf((t: String) => fingerprint(t))
+    docs(s, dir).select(col("doc_id"), fp(col("text")).as("fp"))
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_token_count" ->
+      ("SELECT doc_id, len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens, " +
+        "cast(ceil(length(text) / 4.0) AS bigint) AS bpe_est, n_chars FROM documents"),
+    "q_quality_score" ->
+      ("SELECT doc_id, " +
+        "len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens, " +
+        "len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','in','to'))) AS n_stop, " +
+        "round(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','in','to'))) / " +
+        "greatest(len(list_filter(string_split(text, ' '), x -> x <> '')), 1)::double, 4) AS stop_ratio, " +
+        "round(length(replace(text, ' ', '')) / " +
+        "greatest(len(list_filter(string_split(text, ' '), x -> x <> '')), 1)::double, 4) AS mean_word_len " +
+        "FROM documents"),
+    "q_jaccard_pairs" ->
+      ("SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "round(len(list_intersect(a.toks, b.toks)) / " +
+        "len(list_distinct(list_concat(a.toks, b.toks)))::double, 4) AS jaccard " +
+        "FROM (SELECT doc_id, source, list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks FROM documents) a " +
+        "JOIN (SELECT doc_id, source, list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks FROM documents) b " +
+        "ON a.source = b.source AND a.doc_id < b.doc_id " +
+        "WHERE round(len(list_intersect(a.toks, b.toks)) / " +
+        "len(list_distinct(list_concat(a.toks, b.toks)))::double, 4) >= 0.2"),
+    "q_exact_dedup" ->
+      "SELECT md5(text) AS sig, min(doc_id) AS keeper, count(*) AS n FROM documents GROUP BY 1")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_token_count" -> tokenCount _,
+    "q_quality_score" -> qualityScore _,
+    "q_jaccard_pairs" -> jaccardPairs _,
+    "q_exact_dedup" -> exactDedup _,
+    "q_lang_id" -> langId _,
+    "q_fingerprint" -> fingerprints _)
+}

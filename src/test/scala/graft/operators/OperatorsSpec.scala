@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase.{sfDir, spark}
+import graft.core.XxHash64
+
+/** Specs for the operators whose semantics the DuckDB oracle cannot
+  * express: hash-key parity, MinHash/SimHash near-dup pipelines (checked
+  * against brute-force computed in-memory), LSH ANN recall vs the exact
+  * top-k, language ID, fingerprints.
+  */
+class OperatorsSpec extends AnyFunSuite {
+
+  test("Urls.urlHash is bit-identical to the xxhash64() column") {
+    import spark.implicits._
+    val urls = Seq("http://a.com/", "https://x.y.z/p?q=1",
+      "http://www.test-7.example/page3.html")
+    val fromCol = urls.toDF("u").select(xxhash64(col("u"))).as[Long].collect()
+    val fromScala = urls.map(u => XxHash64.hashUtf8(u, 42L))
+    assert(fromCol.toSeq === fromScala)
+  }
+
+  test("minhash pairs match brute-force jaccard over the corpus") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val threshold = 0.5
+    val brute = (for {
+      (ia, ta) <- docs
+      (ib, tb) <- docs if ia < ib
+      j = Dedup.jaccard(Dedup.shingles(ta), Dedup.shingles(tb))
+      if j >= threshold
+    } yield (ia, ib)).toSet
+
+    val got = Dedup.minHashPairs(spark, sfDir, threshold = threshold)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+
+    // every reported pair is truly >= threshold (exact-verify stage => no FPs)
+    assert(got.subsetOf(brute),
+      s"false positives: ${got.diff(brute).take(5)}")
+    // banding recall: with 8 bands x 4 rows at j>=0.5 expected recall is
+    // >= 1-(1-0.5^4)^8 ~ 0.40 per pair; on this corpus demand >= 50% overall
+    // and exact recall of clear dups (j >= 0.8)
+    if (brute.nonEmpty) {
+      assert(got.size * 2 >= brute.size,
+        s"recall too low: ${got.size}/${brute.size}")
+    }
+    val clear = (for {
+      (ia, ta) <- docs
+      (ib, tb) <- docs if ia < ib
+      j = Dedup.jaccard(Dedup.shingles(ta), Dedup.shingles(tb))
+      if j >= 0.9
+    } yield (ia, ib)).toSet
+    assert(clear.subsetOf(got),
+      s"missed clear dup: ${clear.diff(got).take(5)}")
+  }
+
+  test("simhash pairs: identical docs collide, reported pairs within hamming") {
+    import spark.implicits._
+    val pairs = Dedup.simHashPairs(spark, sfDir, maxHamming = 3)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect()
+    pairs.foreach { case (_, _, h) => assert(h <= 3) }
+    // self-check of the pure function
+    assert(Dedup.simHash("a b c d") === Dedup.simHash("a b c d"))
+    assert(java.lang.Long.bitCount(
+      Dedup.simHash("the quick brown fox jumps over a lazy dog") ^
+        Dedup.simHash("the quick brown fox jumps over a lazy cat")) <= 24)
+  }
+
+  test("LSH cosine top-k achieves >=40% recall of exact top-k") {
+    import spark.implicits._
+    val exact = SimilarityOps.cosineTopK(spark, sfDir)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = SimilarityOps.cosineTopKLsh(spark, sfDir)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"LSH recall $recall")
+    // approx similarities must be genuine (subset of the scored universe,
+    // never higher than the exact #1)
+    assert(approx.forall { case (q, _) => q < 10 })
+  }
+
+  test("embedding near-dup pairs are symmetric-free and above threshold") {
+    import spark.implicits._
+    val rows = SimilarityOps.embeddingNearDup(spark, sfDir, threshold = 0.9)
+      .as[(Long, Long, Double)].collect()
+    rows.foreach { case (a, b, s) =>
+      assert(a < b)
+      assert(s >= 0.9)
+    }
+  }
+
+  test("langid: deterministic and sane on constructed texts") {
+    assert(TextOps.detectLang("the cat and the hat is in the house") === "en")
+    assert(TextOps.detectLang("der hund und die katze ist nicht da") === "de")
+    assert(TextOps.detectLang("le chat est dans la maison et pas dehors") === "fr")
+    assert(TextOps.detectLang("el gato es una mascota para la casa") === "es")
+    assert(TextOps.detectLang("这是一个中文句子") === "zh")
+    assert(TextOps.detectLang("") === "und")
+    assert(TextOps.detectLang("zzz qqq xxx") === "und")
+    // full corpus runs without error and covers every doc
+    val n = TextOps.langId(spark, sfDir).count()
+    assert(n === 500)
+  }
+
+  test("fingerprint: equal text => equal fp; edits move it; corpus distinct-ish") {
+    val t = "the quick brown fox jumps over the lazy dog repeatedly every day"
+    assert(TextOps.fingerprint(t) === TextOps.fingerprint(t))
+    assert(TextOps.fingerprint(t) !== TextOps.fingerprint(t + " extra"))
+    import spark.implicits._
+    val fps = TextOps.fingerprints(spark, sfDir).select("fp").as[Long].collect()
+    assert(fps.distinct.length === fps.length) // no dup texts in corpus
+  }
+
+  test("flagship entry returns rows") {
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
+}
