@@ -18,10 +18,29 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     RelationalOps.hostAgg(spark, "/root/testdata/sf0.001")
 
+  /** The crawl loop end-to-end (generate/fetch/updatedb over the
+    * deterministic synthetic web, SURVEY.md §3) surfaced as a query:
+    * returns the final frontier's status histogram + score stats — the
+    * WebTableReader stats readout of a 2-batch crawl. Deterministic
+    * (virtual clock, seeded web); verified in depth by CrawlParitySpec.
+    */
+  def crawlLoop(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft-crawl-q")
+      .toString
+    val cfg = graft.crawl.WebConfig(numHosts = 8, pagesPerHost = 20,
+      fanout = 4, imagesPerPage = 2, maxDelayMs = 100, crawlDelayMs = 25L)
+    val p = new graft.crawl.CrawlPipeline(spark, root, cfg, numBuckets = 8)
+    val frontier = p.runBatches(depth = 2, topN = 60, maxPerHost = 10)
+    frontier.groupBy(col("status"))
+      .agg(count(lit(1)).as("cnt"), round(avg(col("score")), 4).as("avg_score"),
+        max(col("distance")).as("max_distance"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalOps.queries ++ TextOps.queries ++ SimilarityOps.queries ++
-      Dedup.queries
+      Dedup.queries + ("q_crawl_loop" -> (crawlLoop _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops

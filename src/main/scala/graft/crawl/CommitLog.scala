@@ -1,0 +1,62 @@
+package graft.crawl
+
+import java.io.File
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+
+/** Atomic per-batch commit log — the Iceberg snapshot contract, emulated
+  * (SURVEY.md §7.1: no Iceberg jar ships in this sandbox; the layout +
+  * commit protocol mirror Iceberg's snapshot/manifest semantics so a real
+  * catalog is a drop-in in production).
+  *
+  * One JSON file per commit, written temp-then-rename (atomic on POSIX).
+  * A commit records `(seq, batchId, stage, status, rowCounts, snapshot
+  * paths, per-partition lineage, metrics)` — the reference's ZooKeeper step
+  * gate (reference: crawl/NutchConstant.java:648-830 preparStartJob,
+  * :1007-1076 preparEndJob) collapses into "read the last committed stage".
+  * Resume = scan commits, find the last complete batch, continue from its
+  * snapshot (north rule: resumes exactly from checkpoint with
+  * per-partition lineage + metrics).
+  */
+final case class Commit(
+    seq: Long,
+    batchId: String,
+    stage: String, // inject | generate | fetch | updatedb
+    status: String, // complete (only complete commits are ever written)
+    frontierPath: String, // snapshot dir this stage produced/read
+    rowCount: Long,
+    partitionCounts: Map[String, Long], // per-bucket lineage
+    metrics: Map[String, Double],
+    virtualTime: Long)
+
+final class CommitLog(root: String) {
+  private val dir = new File(root, "_commits")
+  dir.mkdirs()
+  private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
+
+  def commits(): Seq[Commit] =
+    Option(dir.listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".json"))
+      .sortBy(_.getName)
+      .map(f => mapper.readValue(f, classOf[Commit]))
+      .toSeq
+
+  def last(): Option[Commit] = commits().lastOption
+
+  def lastOf(stage: String): Option[Commit] =
+    commits().filter(_.stage == stage).lastOption
+
+  def nextSeq(): Long = last().map(_.seq + 1).getOrElse(0L)
+
+  /** Atomic append: write temp file, fsync-free rename into place. */
+  def append(c: Commit): Commit = {
+    val tmp = Files.createTempFile(dir.toPath, s"commit-${c.seq}", ".tmp")
+    mapper.writerWithDefaultPrettyPrinter().writeValue(tmp.toFile, c)
+    Files.move(tmp, Paths.get(dir.getPath, f"${c.seq}%06d.json"),
+      StandardCopyOption.ATOMIC_MOVE)
+    c
+  }
+}

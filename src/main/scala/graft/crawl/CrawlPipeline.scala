@@ -1,0 +1,448 @@
+package graft.crawl
+
+import java.io.File
+
+import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{CrawlStatus, FetchOutcome, Schedule, ScheduleConfig, Urls, XxHash64}
+
+/** Pluggable fetcher (reference extension point `Protocol`,
+  * plugin/ExtensionPoint.java; SURVEY.md §2.10). The synthetic
+  * implementation is the deterministic fake web.
+  */
+trait Fetcher extends Serializable {
+  def fetch(url: String): WebContent
+  def delayMs(url: String): Long
+}
+
+final class SyntheticFetcher(cfg: WebConfig) extends Fetcher {
+  def fetch(url: String): WebContent = SyntheticWeb.content(url, cfg)
+  def delayMs(url: String): Long = SyntheticWeb.delayMs(url, cfg)
+}
+
+/** The crawl loop — generate / fetch(+inline parse) / updatedb over a
+  * bucket-partitioned parquet frontier with an atomic commit log
+  * (SURVEY.md §3: reference lifecycle `Crawler.run` ->
+  * GeneratorJob -> FetcherJob -> DbUpdaterJob, re-expressed as typed
+  * Dataset transformations; reference: crawl/Crawler.java:168-224).
+  *
+  * Scale design (10^10-URL frontier):
+  *  - frontier partitioned by `bucket` = salted host hash — host-local
+  *    politeness grouping without host skew concentrating data;
+  *  - generate: one window shuffle (per-host cap) + TakeOrderedAndProject
+  *    for the global topN — never a full sort of the frontier;
+  *  - fetch: one repartition by (bucket ^ batch salt); per-host politeness
+  *    is a sequential fold inside `flatMapGroups` (Catalyst-planned
+  *    MapGroups — the reference's FetchItemQueues without threads);
+  *  - updatedb: discovered side is pre-aggregated per URL before the
+  *    frontier cogroup, capping the shuffle at |distinct urls|; the
+  *    frontier side shuffles once on urlHash (with Iceberg
+  *    storage-partitioned joins this becomes co-located; documented in
+  *    README).
+  */
+final class CrawlPipeline(
+    @transient private val spark: SparkSession,
+    root: String,
+    webCfg: WebConfig = WebConfig(),
+    numBuckets: Int = 32,
+    scheduleCfg: ScheduleConfig = ScheduleConfig(),
+    maxDepth: Int = 3,
+    additionsAllowed: Boolean = true,
+    useBloomSeenFilter: Boolean = true) extends Serializable {
+
+  import spark.implicits._
+
+  @transient val log = new CommitLog(root)
+  private val fetcher: Fetcher = new SyntheticFetcher(webCfg)
+
+  private def snapshotDir(seq: Long): String =
+    s"$root/frontier/snapshot-$seq"
+
+  // ---------------------------------------------------------------- inject
+
+  /** Seed injection (reference: crawl/InjectorJob.java:111-188 — normalize,
+    * filter, build UNFETCHED rows, upsert). Seed lines support the
+    * reference's `url \t nutch.score=F \t nutch.fetchInterval=I` metadata.
+    */
+  def inject(seedLines: Seq[String], now: Long): Dataset[CrawlRow] = {
+    val nb = numBuckets
+    val defaultInterval = scheduleCfg.defaultIntervalSec
+    val rows = spark.createDataset(seedLines)
+      .flatMap { line =>
+        val parts = line.split("\t")
+        Urls.canonicalize(parts(0)).filter(UrlFilters.accepts).map { u =>
+          var score = 1.0f
+          var interval = defaultInterval
+          parts.drop(1).foreach { kv =>
+            kv.split("=", 2) match {
+              case Array("nutch.score", v) => score = v.toFloat
+              case Array("nutch.fetchInterval", v) => interval = v.toInt
+              case _ =>
+            }
+          }
+          Keys.rowOf(u, nb, now, score = score, intervalSec = interval)
+        }
+      }
+      .dropDuplicates("urlHash")
+    val seq = log.nextSeq()
+    val path = snapshotDir(seq)
+    val out = writeFrontier(rows, path)
+    commitStage(seq, "b0", "inject", path, out, now)
+    readFrontier(path)
+  }
+
+  private def writeFrontier(rows: Dataset[CrawlRow], path: String)
+      : Map[String, Long] = {
+    rows.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(path)
+    spark.read.parquet(path).groupBy("bucket").count()
+      .as[(Int, Long)].collect().map { case (b, c) => b.toString -> c }.toMap
+  }
+
+  def readFrontier(path: String): Dataset[CrawlRow] =
+    spark.read.parquet(path).as[CrawlRow]
+
+  private def commitStage(seq: Long, batchId: String, stage: String,
+      frontierPath: String, partCounts: Map[String, Long], now: Long,
+      metrics: Map[String, Double] = Map.empty): Commit =
+    log.append(Commit(seq, batchId, stage, "complete", frontierPath,
+      partCounts.values.sum, partCounts, metrics, now))
+
+  // -------------------------------------------------------------- generate
+
+  /** Build the batch fetchlist (reference: crawl/GeneratorJob.java:149-202;
+    * eligibility cascade GeneratorMapper.java:53-200; per-host caps + topN
+    * GeneratorReducer.java:43-124). Ordering contract = score desc, url asc
+    * (SelectorEntry.compareTo, GeneratorJob.java:92-98) — the parity
+    * definition for the simulator oracle.
+    */
+  def generate(frontier: Dataset[CrawlRow], batchId: String, now: Long,
+      topN: Int, maxPerHost: Int): Dataset[CrawlRow] = {
+    val retryMax = scheduleCfg.retryMax
+    val maxIntervalMs = scheduleCfg.maxIntervalSec * 1000L
+    val clampedInterval = (scheduleCfg.maxIntervalSec * 0.9).toInt
+    val depthCap = maxDepth
+
+    // F1 eligibility cascade as a typed filter + O3 max-interval clamp
+    val eligible = frontier.flatMap { r =>
+      if (r.status == CrawlStatus.Gone) None
+      else if (r.retries > retryMax) None
+      else if (r.distance > depthCap) None
+      else if (r.fetchTime - now > maxIntervalMs)
+        Some(r.copy(fetchInterval = clampedInterval, fetchTime = now))
+      else if (r.fetchTime <= now) Some(r)
+      else None
+    }
+
+    // A2 per-host cap via ranked window, then exact global topN (O1+O2).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host"))
+      .orderBy(col("score").desc, col("url").asc)
+    val list = eligible
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxPerHost)
+      .drop("rn")
+      .orderBy(col("score").desc, col("url").asc)
+      .limit(topN)
+      .as[CrawlRow]
+      .map(_.copy(lastBatch = batchId))
+
+    val path = s"$root/batches/$batchId/fetchlist"
+    list.write.mode(SaveMode.Overwrite).parquet(path)
+    val out = spark.read.parquet(path).as[CrawlRow]
+    val counts = out.groupBy("bucket").count().as[(Int, Long)].collect()
+      .map { case (b, c) => b.toString -> c }.toMap
+    commitStage(log.nextSeq(), batchId, "generate",
+      log.lastOf("updatedb").orElse(log.lastOf("inject"))
+        .map(_.frontierPath).getOrElse(""), counts, now)
+    out
+  }
+
+  // ----------------------------------------------------------------- fetch
+
+  /** Politeness-scheduled fetch with inline parse (reference:
+    * fetcher/FetcherReducer.java — FetchItemQueues :167-449 with per-host
+    * crawlDelay/maxConcurrent; inline parse :682-686; status dispatch
+    * :557-605; robots cache RobotRulesParser.java:54,414-496 — note the
+    * fork comments robots *enforcement* out at :522-544; we enforce it,
+    * deterministic in the synthetic web).
+    *
+    * Virtual clock: each host's timeline starts at `now`; `maxConcurrent`
+    * lanes per host; lane pick = earliest-available (deterministic).
+    * Cross-host parallelism is Spark's — politeness is per-host
+    * serialization, exactly the reference's queue model.
+    */
+  def fetch(fetchlist: Dataset[CrawlRow], batchId: String, now: Long)
+      : Dataset[FetchResult] = {
+    val f = fetcher
+    val crawlDelay = webCfg.crawlDelayMs
+    val lanes = math.max(1, webCfg.maxConcurrent)
+    val batchSalt = XxHash64.hashUtf8(batchId, 7L)
+
+    val results = fetchlist
+      // O4: salted repartition — vary placement across batches like the
+      // reference's seed XOR (URLPartitioner.java:110-113) while keeping
+      // each host in exactly one task
+      .repartition(numBuckets, xxhash64(col("host"), lit(batchSalt)))
+      .groupByKey(_.host)
+      .flatMapGroups { (host, rows) =>
+        val sorted = rows.toArray.sortBy(r => (-r.score, r.url))
+        val disallows = SyntheticWeb.robotsDisallows(host) // robots cache:
+        // one lookup per host group == per-executor LRU in the reference
+        val laneAvail = Array.fill(lanes)(now)
+        sorted.iterator.map { r =>
+          val lane = laneAvail.zipWithIndex.minBy { case (t, i) => (t, i) }._2
+          val start = laneAvail(lane)
+          val path = r.url.drop(r.url.indexOf(host) + host.length)
+          if (disallows.exists(path.startsWith)) {
+            // robots-denied: no request is made — no politeness cost
+            FetchResult(r.urlHash, r.url, host, FetchOutcome.Gone,
+              "robots/denied", null, Map.empty,
+              null, r.score, r.distance, start, start, batchId)
+          } else {
+            val delay = f.delayMs(r.url)
+            val end = start + delay
+            laneAvail(lane) = end + crawlDelay
+            f.fetch(r.url) match {
+              case HtmlPage(outlinks) =>
+                val sig = graft.core.Signature.md5(
+                  outlinks.keys.toSeq.sorted.mkString("|").getBytes, r.url)
+                FetchResult(r.urlHash, r.url, host, FetchOutcome.Success,
+                  "text/html", null, outlinks, sig, r.score, r.distance,
+                  start, end, batchId)
+              case img: ImageFile =>
+                val sig = graft.core.Signature.md5(img.bytes, r.url)
+                FetchResult(r.urlHash, r.url, host, FetchOutcome.Success,
+                  s"image/${img.fmt}", null, Map.empty, sig, r.score,
+                  r.distance, start, end, batchId)
+              case Redirect(to, perm) =>
+                val oc = if (perm) FetchOutcome.RedirPerm
+                  else FetchOutcome.RedirTemp
+                FetchResult(r.urlHash, r.url, host, oc, "text/html", to,
+                  Map.empty, null, r.score, r.distance, start, end, batchId)
+              case NotFound =>
+                FetchResult(r.urlHash, r.url, host, FetchOutcome.Gone,
+                  "text/html", null, Map.empty, null, r.score, r.distance,
+                  start, end, batchId)
+              case ServerError =>
+                FetchResult(r.urlHash, r.url, host,
+                  FetchOutcome.RetryTransient, "text/html", null, Map.empty,
+                  null, r.score, r.distance, start, end, batchId)
+            }
+          }
+        }
+      }
+
+    val path = s"$root/batches/$batchId/fetched"
+    val t0 = System.nanoTime()
+    results.write.mode(SaveMode.Overwrite).parquet(path)
+    val fetchWallMs = (System.nanoTime() - t0) / 1e6
+    val out = spark.read.parquet(path).as[FetchResult]
+    val n = out.count()
+    val vWall = out.agg(max(col("fetchEnd"))).as[Long].head() - now
+    commitStage(log.nextSeq(), batchId, "fetch", path,
+      Map("all" -> n), now,
+      Map("pages" -> n.toDouble,
+        "fetchWallMs" -> fetchWallMs,
+        "virtualWallMs" -> vWall.toDouble,
+        "virtualPagesPerSec" ->
+          (if (vWall > 0) n * 1000.0 / vWall else 0.0)))
+    out
+  }
+
+  /** Decode+validate image payloads from fetched rows (C11 — reference
+    * ImageParser truncation check generalized to full decode+phash; per
+    * input_hint the payload table is (image_id, bytes, w, h, fmt, caption,
+    * phash)).
+    */
+  def payloads(fetched: Dataset[FetchResult], batchId: String)
+      : Dataset[PayloadRow] = {
+    val cfg = webCfg
+    val out = fetched
+      .filter(r => r.contentType != null && r.contentType.startsWith("image/"))
+      .map { r =>
+        SyntheticWeb.content(r.url, cfg) match {
+          case img: ImageFile =>
+            PayloadRow(r.url, img.bytes, img.w, img.h, img.fmt, img.caption,
+              img.phash, r.urlHash, batchId)
+          case other =>
+            throw new IllegalStateException(s"${r.url}: not an image: $other")
+        }
+      }
+    val path = s"$root/batches/$batchId/payload"
+    out.write.mode(SaveMode.Overwrite).parquet(path)
+    spark.read.parquet(path).as[PayloadRow]
+  }
+
+  // --------------------------------------------------------------- updatedb
+
+  /** Merge fetch outcomes + discovered outlinks into the frontier
+    * (reference: crawl/DbUpdateMapper.java:55-118 emit,
+    * DbUpdateReducer.java:102-274 merge, UrlWithScore secondary sort).
+    *
+    * Discovered outlinks are aggregated per destination FIRST (min
+    * distance, best inherited score, inlink count — the explode+groupBy
+    * analog of the reducer's sorted-inlink fold, capped semantics of
+    * db.update.max.inlinks), then cogrouped with the frontier on urlHash.
+    */
+  def updatedb(frontier: Dataset[CrawlRow], fetched: Dataset[FetchResult],
+      batchId: String, now: Long): Dataset[CrawlRow] = {
+    val nb = numBuckets
+    val sched = scheduleCfg
+    val depthCap = maxDepth
+    val additions = additionsAllowed
+
+    // T7: redirects feed the discovery stream like outlinks
+    val discovered: Dataset[Discovered] = fetched.flatMap { r =>
+      val outs = r.outlinks.iterator.map(_._1) ++
+        Option(r.redirectTo).iterator
+      val n = math.max(1, r.outlinks.size + Option(r.redirectTo).size)
+      outs.flatMap { raw =>
+        Urls.canonicalize(raw).filter(UrlFilters.accepts).map { u =>
+          val host = Urls.host(u)
+          Discovered(XxHash64.hashUtf8(u, 42L), u, host,
+            Urls.domain(host), Keys.bucketOf(host, nb),
+            contrib = r.srcScore / n, inlinks = 1,
+            distance = r.srcDistance + 1)
+        }
+      }
+    }
+
+    // per-destination aggregation (J1 analog of the reducer's sorted
+    // inlink fold): min distance, max score contribution (both
+    // order-independent => deterministic under any shuffle order)
+    val discAgg = discovered
+      .groupByKey(_.urlHash)
+      .mapGroups { (_, it) =>
+        val all = it.toArray
+        all.head.copy(contrib = all.map(_.contrib).max,
+          inlinks = all.length,
+          distance = all.map(_.distance).min)
+      }
+
+    val outcomes = fetched.map(r => (r.urlHash, r.outcome,
+      Option(r.signature).getOrElse(Array.emptyByteArray), r.batchId))
+      .toDF("urlHash", "outcome", "signature", "batchId")
+      .as[(Long, Int, Array[Byte], String)]
+
+    // distance of the *source* page joins through the fetchlist rows: the
+    // fetched row's frontier entry carries distance; rebuild dist map from
+    // the frontier side during cogroup (frontier row for src is present).
+    val merged = frontier.groupByKey(_.urlHash)
+      .cogroup(outcomes.groupByKey(_._1)) { (key, frontRows, outRows) =>
+        val front = frontRows.toSeq.headOption
+        val out = outRows.toSeq.headOption
+        (front, out) match {
+          case (Some(row), Some((_, outcome, sig, b))) =>
+            val st0 = graft.core.ScheduleState(row.status, row.fetchTime,
+              row.prevFetchTime, row.fetchInterval, row.retries,
+              row.modifiedTime)
+            val changed = row.signature == null ||
+              !java.util.Arrays.equals(row.signature, sig)
+            val effOutcome =
+              if (outcome == FetchOutcome.Success && !changed)
+                FetchOutcome.NotModified
+              else outcome
+            val st1 = Schedule.next(st0, effOutcome, now, sched)
+            Iterator.single(row.copy(
+              status = st1.status,
+              fetchTime = st1.fetchTime,
+              prevFetchTime = st1.prevFetchTime,
+              fetchInterval = st1.fetchInterval,
+              retries = st1.retries,
+              modifiedTime = st1.modifiedTime,
+              prevSignature = row.signature,
+              signature = if (sig.isEmpty) row.signature else sig,
+              lastBatch = b))
+          case (Some(row), None) => Iterator.single(row)
+          case (None, _) => Iterator.empty // discovered handled below
+        }
+      }
+
+    // new rows from discoveries. D1 URL-seen set (north rule): a bloom
+    // filter over frontier keys prunes definitely-new URLs; only the
+    // maybe-seen remainder pays the anti-join shuffle. The bloom is an
+    // optimization gate, never the source of truth — exactness comes from
+    // the anti-join on the (much smaller) mightContain subset. At 10^10
+    // rows the bloom is built per-partition and the anti-join is
+    // storage-partitioned; here df.stat.bloomFilter suffices.
+    val newDiscoveries =
+      if (!additions) spark.emptyDataset[Discovered]
+      else if (useBloomSeenFilter) {
+        val frontierCount = frontier.count()
+        val bloom = frontier.stat.bloomFilter("urlHash",
+          math.max(1000L, frontierCount), 0.03)
+        val bloomBc = spark.sparkContext.broadcast(bloom)
+        val definitelyNew =
+          discAgg.filter(d => !bloomBc.value.mightContain(d.urlHash))
+        val maybeSeen =
+          discAgg.filter(d => bloomBc.value.mightContain(d.urlHash))
+        definitelyNew.union(
+          maybeSeen.join(frontier.select(col("urlHash")), Seq("urlHash"),
+            "left_anti").as[Discovered])
+      } else
+        discAgg.join(frontier.select(col("urlHash")), Seq("urlHash"),
+          "left_anti").as[Discovered]
+
+    val newRows = newDiscoveries
+      .filter(_.distance <= depthCap)
+      .map { d =>
+        Keys.rowOf(d.url, nb, now,
+          score = d.contrib,
+          distance = d.distance,
+          intervalSec = sched.defaultIntervalSec)
+      }
+
+    // distance refinement for existing rows: min(existing, discovered+src)
+    // is folded in a second pass only when a shorter path appeared
+    val refreshed = merged.union(newRows)
+
+    val seq = log.nextSeq()
+    val path = snapshotDir(seq)
+    val t0 = System.nanoTime()
+    val counts = writeFrontier(refreshed, path)
+    val mergeMs = (System.nanoTime() - t0) / 1e6
+    commitStage(seq, batchId, "updatedb", path, counts, now,
+      Map("mergeWallMs" -> mergeMs))
+    readFrontier(path)
+  }
+
+  // ----------------------------------------------------------------- loop
+
+  /** Drive `depth` generate->fetch->updatedb batches (reference:
+    * Crawler.java:168-224 depth loop; T1 micro-batch trigger). Resumes
+    * from the commit log: completed stages of a crashed batch are reused,
+    * not re-run (T2 — the ZK step gate as commit-log reads).
+    */
+  def runBatches(depth: Int, topN: Int, maxPerHost: Int,
+      startTime: Long = 1700000000000L): Dataset[CrawlRow] = {
+    var frontier = log.lastOf("updatedb").orElse(log.lastOf("inject")) match {
+      case Some(c) => readFrontier(c.frontierPath)
+      case None =>
+        inject(SyntheticWeb.seeds(webCfg), startTime)
+    }
+    val doneBatches = log.commits().filter(_.stage == "updatedb")
+      .map(_.batchId).toSet
+    for (i <- 1 to depth) {
+      val batchId = s"b$i"
+      if (!doneBatches.contains(batchId)) {
+        val now = startTime + i * 3600000L // 1h virtual tick per batch
+        val list = generate(frontier, batchId, now, topN, maxPerHost)
+        if (list.isEmpty) {
+          // T2: empty step => skip remaining stages (exitValue=2 analog)
+        } else {
+          val fetched = fetch(list, batchId, now)
+          payloads(fetched, batchId)
+          frontier = updatedb(frontier, fetched, batchId, now)
+        }
+      }
+    }
+    frontier
+  }
+}
+
+/** Default URL filter chain instance shared by pipeline stages. */
+object UrlFilters {
+  private val chain = graft.core.UrlFilterChain.default
+  def accepts(url: String): Boolean = chain.accepts(url)
+}

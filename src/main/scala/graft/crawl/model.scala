@@ -1,0 +1,115 @@
+package graft.crawl
+
+import graft.core.XxHash64
+
+/** Frontier row (= the reference's WebPage record, SURVEY.md §1.5 mapping;
+  * reference: storage/WebPage.java:36-56). Markers become typed columns;
+  * the key is the 64-bit hash of the canonical URL; `bucket` is the salted
+  * host-hash partition (north rule: salted-key partitioning).
+  */
+final case class CrawlRow(
+    urlHash: Long,
+    url: String,
+    host: String,
+    domain: String,
+    bucket: Int,
+    status: Int,
+    score: Float,
+    fetchTime: Long,
+    prevFetchTime: Long,
+    fetchInterval: Int,
+    retries: Int,
+    modifiedTime: Long,
+    signature: Array[Byte],
+    prevSignature: Array[Byte],
+    distance: Int,
+    lastBatch: String,
+    reprUrl: String,
+    cfgId: Int,
+    crawlType: Int)
+
+/** Image+caption payload row — exact shape from BASELINE.json `input_hint`
+  * plus lineage columns (urlHash, batchId).
+  */
+final case class PayloadRow(
+    image_id: String,
+    bytes: Array[Byte],
+    w: Int,
+    h: Int,
+    fmt: String,
+    caption: String,
+    phash: Long,
+    urlHash: Long,
+    batchId: String)
+
+/** One fetch attempt's result as it leaves the politeness scheduler.
+  * fetchStart/fetchEnd are virtual-clock millis (deterministic).
+  */
+final case class FetchResult(
+    urlHash: Long,
+    url: String,
+    host: String,
+    outcome: Int, // FetchOutcome codes
+    contentType: String,
+    redirectTo: String, // null unless redirect
+    outlinks: Map[String, String], // dst url -> anchor
+    signature: Array[Byte],
+    srcScore: Float, // fetched row's frontier score (for outlink scoring)
+    srcDistance: Int, // fetched row's link depth
+    fetchStart: Long,
+    fetchEnd: Long,
+    batchId: String)
+
+/** A discovered URL emitted by parse toward updatedb. `contrib` is the
+  * inherited-score contribution srcScore/srcOutDegree; the per-destination
+  * aggregate takes max(contrib) (order-independent — float sums are not)
+  * and min(distance).
+  */
+final case class Discovered(
+    urlHash: Long,
+    url: String,
+    host: String,
+    domain: String,
+    bucket: Int,
+    contrib: Float,
+    inlinks: Int,
+    distance: Int) // src distance + 1
+
+object Keys {
+  val BucketSalt = 42L
+
+  /** Salted host bucket: co-locates a host's rows (politeness, range
+    * locality like the reference's reversed-URL keys) while spreading
+    * hosts uniformly across buckets (skew).
+    */
+  def bucketOf(host: String, numBuckets: Int): Int = {
+    val h = XxHash64.hashUtf8(host, BucketSalt)
+    ((h % numBuckets) + numBuckets).toInt % numBuckets
+  }
+
+  def rowOf(url: String, numBuckets: Int, now: Long,
+      score: Float = 1.0f, distance: Int = 0,
+      intervalSec: Int = 30 * 24 * 3600): CrawlRow = {
+    val host = graft.core.Urls.host(url)
+    CrawlRow(
+      urlHash = XxHash64.hashUtf8(url, 42L),
+      url = url,
+      host = host,
+      domain = graft.core.Urls.domain(host),
+      bucket = bucketOf(host, numBuckets),
+      status = graft.core.CrawlStatus.Unfetched,
+      score = score,
+      fetchTime = now,
+      prevFetchTime = 0L,
+      fetchInterval = intervalSec,
+      retries = 0,
+      modifiedTime = 0L,
+      signature = null,
+      prevSignature = null,
+      distance = distance,
+      lastBatch = "",
+      reprUrl = "",
+      cfgId = 0,
+      crawlType = 7)
+  }
+}

@@ -156,6 +156,29 @@ object RelationalOps {
       .select(col("w.start").as("ws"), col("event_type"), col("cnt"),
         col("total"))
 
+  /** T-analog stateful sessionization: per-user sessions split on >30 min
+    * gaps — lag + running-sum windows (the batch shape of
+    * flatMapGroupsWithState; streaming variant in StreamingSpec). Gap
+    * compare in fractional seconds on both engines.
+    */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    t(s, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          (col("ts").cast("timestamp").cast("double") -
+            col("prev_ts").cast("timestamp").cast("double")) > 1800.0,
+          1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_sess")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total"))
+  }
+
   val oracles: Map[String, String] = Map(
     "q_stats_status" ->
       "SELECT o_orderstatus AS status, count(*) AS cnt FROM orders GROUP BY o_orderstatus",
@@ -196,7 +219,14 @@ object RelationalOps {
         "round(avg(value), 6) AS avg_value FROM events GROUP BY event_type"),
     "q_stream_window" ->
       ("SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS cnt, " +
-        "round(sum(value), 2) AS total FROM events GROUP BY 1, 2"))
+        "round(sum(value), 2) AS total FROM events GROUP BY 1, 2"),
+    "q_sessionize" ->
+      ("SELECT user_id, session_id, count(*) AS n_events, round(sum(value), 2) AS total FROM (" +
+        "SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM (" +
+        "SELECT *, CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800.0 THEN 1 ELSE 0 END AS new_sess FROM (" +
+        "SELECT event_id, ts, user_id, value, lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts " +
+        "FROM events))) GROUP BY user_id, session_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stats_status" -> statsStatus _,
@@ -209,5 +239,6 @@ object RelationalOps {
     "q_min_distance" -> minDistance _,
     "q_seen_anti_join" -> seenAntiJoin _,
     "q_event_histogram" -> eventHistogram _,
-    "q_stream_window" -> streamWindow _)
+    "q_stream_window" -> streamWindow _,
+    "q_sessionize" -> sessionize _)
 }

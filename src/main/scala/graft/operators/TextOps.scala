@@ -86,6 +86,19 @@ object TextOps {
       .groupBy(md5(col("text").cast("binary")).as("sig"))
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n"))
 
+  /** A5: word-frequency scoring (reference:
+    * parse/element/wordfre/WordFreqRule.java:15-39, WordFreqAttrCalc.java:13-47
+    * — tokenize, word->freq map, topN kept). Explode -> partial-agg count ->
+    * exact global top-K with tie-break.
+    */
+  def wordFreq(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(tokensCol(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc)
+      .limit(20)
+
   // --- language ID (n-gram heuristic; no SQL oracle — spec-tested) ---
 
   /** Tiny trigram-profile language identifier. Deterministic, pure; the
@@ -169,7 +182,10 @@ object TextOps {
         "WHERE round(len(list_intersect(a.toks, b.toks)) / " +
         "len(list_distinct(list_concat(a.toks, b.toks)))::double, 4) >= 0.2"),
     "q_exact_dedup" ->
-      "SELECT md5(text) AS sig, min(doc_id) AS keeper, count(*) AS n FROM documents GROUP BY 1")
+      "SELECT md5(text) AS sig, min(doc_id) AS keeper, count(*) AS n FROM documents GROUP BY 1",
+    "q_word_freq" ->
+      ("SELECT word, count(*) AS cnt FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word " +
+        "FROM documents) GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 20"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_token_count" -> tokenCount _,
@@ -177,5 +193,6 @@ object TextOps {
     "q_jaccard_pairs" -> jaccardPairs _,
     "q_exact_dedup" -> exactDedup _,
     "q_lang_id" -> langId _,
+    "q_word_freq" -> wordFreq _,
     "q_fingerprint" -> fingerprints _)
 }

@@ -1,0 +1,135 @@
+package graft.crawl
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase.spark
+
+/** North-rule gates: crawl ordering parity + URL-seen-set parity vs the
+  * single-threaded simulator oracle under the same seed list and
+  * politeness budget; payload invariants (decoded-pixel PSNR >= 40 dB for
+  * lossy / exact for lossless, caption equality); resume-from-checkpoint.
+  */
+class CrawlParitySpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private val webCfg = WebConfig(numHosts = 8, pagesPerHost = 20,
+    fanout = 4, imagesPerPage = 2, maxDelayMs = 100, crawlDelayMs = 25L,
+    maxConcurrent = 1)
+  private val depth = 3
+  private val topN = 60
+  private val maxPerHost = 10
+
+  private lazy val root: String = {
+    val dir = Files.createTempDirectory("crawl-parity").toString
+    val pipeline = new CrawlPipeline(spark, dir, webCfg, numBuckets = 8)
+    pipeline.runBatches(depth, topN, maxPerHost)
+    dir
+  }
+
+  private lazy val sim: Simulator = {
+    val s = new Simulator(webCfg)
+    s.runBatches(depth, topN, maxPerHost)
+    s
+  }
+
+  test("URL-seen set parity with the simulator oracle") {
+    val pipeline = new CrawlPipeline(spark, root, webCfg, numBuckets = 8)
+    val frontierPath = pipeline.log.lastOf("updatedb").get.frontierPath
+    val sparkSeen = pipeline.readFrontier(frontierPath)
+      .select("url").as[String].collect().toSet
+    val simSeen = sim.seenSet
+    val missing = simSeen.diff(sparkSeen)
+    val extra = sparkSeen.diff(simSeen)
+    assert(missing.isEmpty && extra.isEmpty,
+      s"missing=${missing.take(5)} extra=${extra.take(5)} " +
+        s"(spark=${sparkSeen.size} sim=${simSeen.size})")
+  }
+
+  test("crawl ordering parity: per-batch (fetchStart, url) sequence matches") {
+    val simOrder = sim.fetchLog.toSeq
+    val sparkOrder = (1 to depth).flatMap { i =>
+      val p = s"$root/batches/b$i/fetched"
+      if (new java.io.File(p).exists())
+        spark.read.parquet(p)
+          .select("batchId", "url", "fetchStart")
+          .as[(String, String, Long)].collect()
+          .sortBy { case (_, u, t) => (t, u) }
+      else Nil
+    }
+    assert(sparkOrder.size === simOrder.size,
+      s"spark=${sparkOrder.size} sim=${simOrder.size}")
+    sparkOrder.zip(simOrder).zipWithIndex.foreach {
+      case ((sp, si), idx) =>
+        assert(sp === si, s"diverges at index $idx")
+    }
+  }
+
+  test("frontier schedule state parity (status/fetchTime/retries/score)") {
+    val pipeline = new CrawlPipeline(spark, root, webCfg, numBuckets = 8)
+    val frontierPath = pipeline.log.lastOf("updatedb").get.frontierPath
+    val sparkRows = pipeline.readFrontier(frontierPath)
+      .collect().map(r => r.url ->
+        (r.status, r.fetchTime, r.retries, r.distance, r.score)).toMap
+    sim.frontier.foreach { case (url, r) =>
+      val got = sparkRows.get(url)
+      assert(got.isDefined, s"missing $url")
+      assert(got.get === ((r.status, r.fetchTime, r.retries, r.distance,
+        r.score)), s"state mismatch for $url")
+    }
+  }
+
+  test("payload invariants: PSNR >= 40 dB (jpeg) / exact (png) + captions") {
+    val rows = (1 to depth).flatMap { i =>
+      val p = s"$root/batches/b$i/payload"
+      if (new java.io.File(p).exists())
+        spark.read.parquet(p).as[PayloadRow].collect()
+      else Nil
+    }
+    assert(rows.nonEmpty, "no payloads fetched")
+    rows.foreach { p =>
+      val (w, h, fmt, caption, seed) = SyntheticWeb.imageSpec(p.image_id)
+      assert(p.caption === caption, s"caption mismatch for ${p.image_id}")
+      assert(p.fmt === fmt)
+      assert(p.w === w && p.h === h)
+      val refPx = ImageCodec.pixels(seed, w, h)
+      val (gotPx, gw, gh) = ImageCodec.decodePixels(p.bytes)
+      assert(gw === w && gh === h)
+      if (fmt == "png") {
+        assert(gotPx.sameElements(refPx), s"png not lossless ${p.image_id}")
+      } else {
+        val psnr = ImageCodec.psnr(refPx, gotPx)
+        assert(psnr >= 40.0, s"PSNR $psnr < 40 dB for ${p.image_id}")
+      }
+      assert(p.phash === ImageCodec.phash(refPx, w, h))
+    }
+  }
+
+  test("resume: killed-after-fetch batch completes identically from commit log") {
+    val dir = Files.createTempDirectory("crawl-resume").toString
+    val cfg = webCfg.copy(numHosts = 4, pagesPerHost = 10)
+    // run 1: stop after batch 1's fetch (simulate crash before updatedb)
+    val p1 = new CrawlPipeline(spark, dir, cfg, numBuckets = 4)
+    val now1 = 1700000000000L + 3600000L
+    val f0 = p1.inject(SyntheticWeb.seeds(cfg), 1700000000000L)
+    val list = p1.generate(f0, "b1", now1, 30, 5)
+    p1.fetch(list, "b1", now1) // crash here: no updatedb commit
+    // run 2: fresh pipeline resumes and completes 2 batches
+    val p2 = new CrawlPipeline(spark, dir, cfg, numBuckets = 4)
+    p2.runBatches(2, 30, 5)
+    // oracle: uninterrupted 2-batch run
+    val s = new Simulator(cfg)
+    s.runBatches(2, 30, 5)
+    val frontierPath = p2.log.lastOf("updatedb").get.frontierPath
+    val seen = p2.readFrontier(frontierPath).select("url").as[String]
+      .collect().toSet
+    assert(seen === s.seenSet)
+    // commit log recorded per-partition lineage + metrics for every stage
+    val commits = p2.log.commits()
+    assert(commits.exists(c => c.stage == "fetch" &&
+      c.metrics.contains("virtualPagesPerSec")))
+    assert(commits.filter(_.stage == "updatedb")
+      .forall(_.partitionCounts.nonEmpty))
+  }
+}

@@ -1,0 +1,171 @@
+package graft.crawl
+
+import scala.collection.mutable
+
+import graft.core.{CrawlStatus, FetchOutcome, Schedule, ScheduleConfig, Urls, XxHash64}
+
+/** Single-threaded reference simulator — the parity oracle (SURVEY.md §5).
+  *
+  * Implements the crawl semantics independently of Spark: generate
+  * selection (eligibility -> score desc, url asc -> per-host cap -> topN),
+  * per-host politeness timeline, robots, schedule state machine, seen-set
+  * growth, outlink scoring. The Spark pipeline must match its crawl
+  * ordering and final URL-seen set under the same seed list + politeness
+  * budget (north rule).
+  */
+final class Simulator(
+    webCfg: WebConfig,
+    scheduleCfg: ScheduleConfig = ScheduleConfig(),
+    maxDepth: Int = 3) {
+
+  final case class SimRow(
+      url: String,
+      var status: Int,
+      var score: Float,
+      var fetchTime: Long,
+      var prevFetchTime: Long,
+      var interval: Int,
+      var retries: Int,
+      var modifiedTime: Long,
+      var signature: Option[Seq[Byte]],
+      var distance: Int,
+      var lastBatch: String)
+
+  val frontier = mutable.LinkedHashMap[String, SimRow]() // url -> row
+  /** (batchId, url, fetchStart) in fetch-start order — the crawl ordering. */
+  val fetchLog = mutable.ArrayBuffer[(String, String, Long)]()
+
+  def inject(seeds: Seq[String], now: Long): Unit =
+    seeds.foreach { raw =>
+      Urls.canonicalize(raw).filter(graft.core.UrlFilterChain.default.accepts)
+        .foreach { u =>
+          if (!frontier.contains(u))
+            frontier(u) = SimRow(u, CrawlStatus.Unfetched, 1.0f, now, 0L,
+              scheduleCfg.defaultIntervalSec, 0, 0L, None, 0, "")
+        }
+    }
+
+  def generate(now: Long, topN: Int, maxPerHost: Int): Seq[SimRow] = {
+    val eligible = frontier.values.filter { r =>
+      r.status != CrawlStatus.Gone &&
+        r.retries <= scheduleCfg.retryMax &&
+        r.distance <= maxDepth &&
+        // far-future rows are clamp-eligible; the clamp itself only lives
+        // on the fetchlist copy (the merge reads frontier state), matching
+        // CrawlPipeline.generate
+        (r.fetchTime - now > scheduleCfg.maxIntervalSec * 1000L ||
+          r.fetchTime <= now)
+    }.toSeq
+    val ordered = eligible.sortBy(r => (-r.score, r.url))
+    val perHost = mutable.Map[String, Int]().withDefaultValue(0)
+    val capped = ordered.filter { r =>
+      val h = Urls.host(r.url)
+      perHost(h) += 1
+      perHost(h) <= maxPerHost
+    }
+    capped.take(topN)
+  }
+
+  /** Fetch a batch: per-host lanes with crawlDelay, exactly the pipeline's
+    * virtual-clock contract; then merge outcomes + discoveries.
+    */
+  def fetchAndUpdate(list: Seq[SimRow], batchId: String, now: Long): Unit = {
+    val byHost = list.groupBy(r => Urls.host(r.url))
+    val outcomes = mutable.ArrayBuffer[(SimRow, Int, Option[Seq[Byte]])]()
+    val discovered = mutable.ArrayBuffer[(String, Float, Int)]() // url, contrib, dist
+    val batchFetches = mutable.ArrayBuffer[(String, String, Long)]()
+
+    byHost.foreach { case (host, rows) =>
+      val sorted = rows.sortBy(r => (-r.score, r.url))
+      val disallows = SyntheticWeb.robotsDisallows(host)
+      val lanes = Array.fill(math.max(1, webCfg.maxConcurrent))(now)
+      sorted.foreach { r =>
+        val lane = lanes.zipWithIndex.minBy { case (t, i) => (t, i) }._2
+        val start = lanes(lane)
+        val path = r.url.drop(r.url.indexOf(host) + host.length)
+        if (disallows.exists(path.startsWith)) {
+          batchFetches += ((batchId, r.url, start))
+          outcomes += ((r, FetchOutcome.Gone, None))
+        } else {
+          val end = start + SyntheticWeb.delayMs(r.url, webCfg)
+          lanes(lane) = end + webCfg.crawlDelayMs
+          batchFetches += ((batchId, r.url, start))
+          SyntheticWeb.content(r.url, webCfg) match {
+            case HtmlPage(outlinks) =>
+              val sig = graft.core.Signature.md5(
+                outlinks.keys.toSeq.sorted.mkString("|").getBytes,
+                r.url).toSeq
+              outcomes += ((r, FetchOutcome.Success, Some(sig)))
+              val n = math.max(1, outlinks.size)
+              outlinks.keys.foreach { raw =>
+                Urls.canonicalize(raw)
+                  .filter(graft.core.UrlFilterChain.default.accepts)
+                  .foreach(u =>
+                    discovered += ((u, r.score / n, r.distance + 1)))
+              }
+            case img: ImageFile =>
+              outcomes += ((r, FetchOutcome.Success,
+                Some(graft.core.Signature.md5(img.bytes, r.url).toSeq)))
+            case Redirect(to, perm) =>
+              outcomes += ((r,
+                if (perm) FetchOutcome.RedirPerm else FetchOutcome.RedirTemp,
+                None))
+              Urls.canonicalize(to)
+                .filter(graft.core.UrlFilterChain.default.accepts)
+                .foreach(u => discovered += ((u, r.score, r.distance + 1)))
+            case NotFound => outcomes += ((r, FetchOutcome.Gone, None))
+            case ServerError =>
+              outcomes += ((r, FetchOutcome.RetryTransient, None))
+          }
+        }
+      }
+    }
+
+    // crawl ordering: global order by (start, url) — deterministic
+    fetchLog ++= batchFetches.sortBy { case (_, u, t) => (t, u) }
+
+    // updatedb merge (schedule state machine + signature change detection)
+    outcomes.foreach { case (r, outcome, sig) =>
+      val changed = r.signature.isEmpty || sig.isEmpty || r.signature != sig
+      val eff =
+        if (outcome == FetchOutcome.Success && !changed)
+          FetchOutcome.NotModified
+        else outcome
+      val st = Schedule.next(
+        graft.core.ScheduleState(r.status, r.fetchTime, r.prevFetchTime,
+          r.interval, r.retries, r.modifiedTime), eff, now, scheduleCfg)
+      r.status = st.status
+      r.fetchTime = st.fetchTime
+      r.prevFetchTime = st.prevFetchTime
+      r.interval = st.fetchInterval
+      r.retries = st.retries
+      r.modifiedTime = st.modifiedTime
+      if (sig.nonEmpty) r.signature = sig
+      r.lastBatch = batchId
+    }
+
+    // new rows: max contribution, min distance per url
+    discovered.groupBy(_._1).foreach { case (u, contribs) =>
+      if (!frontier.contains(u)) {
+        val dist = contribs.map(_._3).min
+        if (dist <= maxDepth) {
+          val score = contribs.map(_._2).max
+          frontier(u) = SimRow(u, CrawlStatus.Unfetched, score, now, 0L,
+            scheduleCfg.defaultIntervalSec, 0, 0L, None, dist, "")
+        }
+      }
+    }
+  }
+
+  def runBatches(depth: Int, topN: Int, maxPerHost: Int,
+      startTime: Long = 1700000000000L): Unit = {
+    inject(SyntheticWeb.seeds(webCfg), startTime)
+    for (i <- 1 to depth) {
+      val now = startTime + i * 3600000L
+      val list = generate(now, topN, maxPerHost)
+      if (list.nonEmpty) fetchAndUpdate(list, s"b$i", now)
+    }
+  }
+
+  def seenSet: Set[String] = frontier.keySet.toSet
+}
