@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+
+import graft.crawl.{CrawlPipeline, WebConfig}
+
+/** One isolated crawl-throughput measurement (child JVM of graft.Bench —
+  * fresh heap per parallelism level; JVM-shared runs showed 3x GC/JIT
+  * carry-over noise between a local[32] and a following local[8] session).
+  *
+  * args: <cores> [scale: warmup|full]. Prints one JSON line:
+  * {"fetched":N,"fetchWallSec":S,"mergeWallSec":S}
+  */
+object ScalingRun {
+  def main(args: Array[String]): Unit = {
+    val cores = args(0).toInt
+    val warmup = args.length > 1 && args(1) == "warmup"
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-scaling-$cores")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val root = Files.createTempDirectory("graft-scaling").toString
+    val webCfg =
+      if (warmup) WebConfig(numHosts = 100, pagesPerHost = 50, fanout = 6,
+        imagesPerPage = 2, maxDelayMs = 200, crawlDelayMs = 10L,
+        maxConcurrent = 2)
+      else WebConfig(numHosts = 3000, pagesPerHost = 300, fanout = 6,
+        imagesPerPage = 3, maxDelayMs = 200, crawlDelayMs = 10L,
+        maxConcurrent = 2, imgMinPx = 96, imgPxRange = 97)
+    val p = new CrawlPipeline(spark, root, webCfg, numBuckets = 64,
+      maxDepth = 4)
+    if (warmup) p.runBatches(depth = 2, topN = 2000, maxPerHost = 40)
+    else p.runBatches(depth = 3, topN = 50000, maxPerHost = 40)
+    val commits = p.log.commits()
+    val fetched = commits.filter(_.stage == "fetch").map(_.rowCount).sum
+    val fetchWall = commits.filter(_.stage == "fetch")
+      .flatMap(_.metrics.get("fetchWallMs")).sum / 1000.0
+    val mergeWall = commits.filter(_.stage == "updatedb")
+      .flatMap(_.metrics.get("mergeWallMs")).sum / 1000.0
+    // steady-state = the largest batch (small warm-up batches are almost
+    // pure per-job overhead and would understate scaling)
+    val steady = commits.filter(_.stage == "fetch").maxBy(_.rowCount)
+    val steadyMerge = commits.filter(c => c.stage == "updatedb" &&
+      c.batchId == steady.batchId)
+      .flatMap(_.metrics.get("mergeWallMs")).headOption.getOrElse(0.0)
+    // stdout contract with Bench: exactly one line starting with RESULT
+    println(s"""RESULT{"fetched":$fetched,"fetchWallSec":$fetchWall,""" +
+      s""""mergeWallSec":$mergeWall,""" +
+      s""""steadyFetched":${steady.rowCount},""" +
+      s""""steadyFetchWallSec":${steady.metrics("fetchWallMs") / 1000.0},""" +
+      s""""steadyMergeWallSec":${steadyMerge / 1000.0}}""")
+    spark.stop()
+  }
+}

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, RelationalOps, SimilarityOps, TextOps}
+import graft.operators.{Dedup, ExtractOps, MultimodalOps, RelationalOps, SimilarityOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -40,7 +40,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalOps.queries ++ TextOps.queries ++ SimilarityOps.queries ++
-      Dedup.queries + ("q_crawl_loop" -> (crawlLoop _))
+      Dedup.queries ++ MultimodalOps.queries ++ ExtractOps.queries +
+      ("q_crawl_loop" -> (crawlLoop _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -48,5 +49,6 @@ object SparkEntry {
     * scalatest specs against brute-force/simulator oracles instead).
     */
   def oracleSql: Map[String, String] =
-    RelationalOps.oracles ++ TextOps.oracles ++ SimilarityOps.oracles
+    RelationalOps.oracles ++ TextOps.oracles ++ SimilarityOps.oracles ++
+      ExtractOps.oracles
 }

@@ -12,8 +12,14 @@ import java.security.MessageDigest
   * trivial edits.
   */
 object Signature {
+  // MessageDigest.getInstance walks synchronized JCA provider maps —
+  // measurable contention at 32 fetch threads; reuse per thread.
+  private val md5Local = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+
   def md5(content: Array[Byte], url: String): Array[Byte] = {
-    val d = MessageDigest.getInstance("MD5")
+    val d = md5Local.get()
+    d.reset()
     if (content != null && content.nonEmpty) d.digest(content)
     else d.digest(url.getBytes(StandardCharsets.UTF_8))
   }
@@ -42,7 +48,8 @@ object Signature {
       .sortBy { case (t, f) => (-f, t) }
       .map { case (t, f) => s"$t $f" }
       .mkString("\n")
-    MessageDigest.getInstance("MD5")
-      .digest(profile.getBytes(StandardCharsets.UTF_8))
+    val d = md5Local.get()
+    d.reset()
+    d.digest(profile.getBytes(StandardCharsets.UTF_8))
   }
 }

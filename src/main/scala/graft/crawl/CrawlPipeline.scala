@@ -49,12 +49,20 @@ final class CrawlPipeline(
     scheduleCfg: ScheduleConfig = ScheduleConfig(),
     maxDepth: Int = 3,
     additionsAllowed: Boolean = true,
-    useBloomSeenFilter: Boolean = true) extends Serializable {
+    useBloomSeenFilter: Boolean = true,
+    configs: graft.core.ConfigTrie = graft.core.ConfigTrie.empty)
+    extends Serializable {
 
   import spark.implicits._
 
   @transient val log = new CommitLog(root)
   private val fetcher: Fetcher = new SyntheticFetcher(webCfg)
+  // J3: per-site config trie broadcast once, consulted by every stage
+  // (reference: GeneratorMapper.java:91, FetcherReducer.java:515-520,
+  // DbUpdateReducer.java:111-117 re-match the trie per row)
+  @transient private val trieBc =
+    spark.sparkContext.broadcast(configs)
+  private val hasPerSiteCaps = configs ne graft.core.ConfigTrie.empty
 
   private def snapshotDir(seq: Long): String =
     s"$root/frontier/snapshot-$seq"
@@ -94,7 +102,10 @@ final class CrawlPipeline(
 
   private def writeFrontier(rows: Dataset[CrawlRow], path: String)
       : Map[String, Long] = {
-    rows.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(path)
+    // align task partitions with bucket dirs: one file per bucket instead
+    // of |tasks| x |buckets| small files (2048 -> 64 at the bench config)
+    rows.repartition(numBuckets, col("bucket"))
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(path)
     spark.read.parquet(path).groupBy("bucket").count()
       .as[(Int, Long)].collect().map { case (b, c) => b.toString -> c }.toMap
   }
@@ -122,33 +133,63 @@ final class CrawlPipeline(
     val maxIntervalMs = scheduleCfg.maxIntervalSec * 1000L
     val clampedInterval = (scheduleCfg.maxIntervalSec * 0.9).toInt
     val depthCap = maxDepth
+    val trie = trieBc
 
-    // F1 eligibility cascade as a typed filter + O3 max-interval clamp
+    // F1 eligibility cascade as a typed filter + O3 max-interval clamp;
+    // F4/F5: config-trie depth override + per-node sub-filters
     val eligible = frontier.flatMap { r =>
+      val cfg = trie.value.configOrDefault(r.url)
+      val effDepth =
+        if (cfg.fetchDepth != Int.MaxValue) cfg.fetchDepth else depthCap
       if (r.status == CrawlStatus.Gone) None
       else if (r.retries > retryMax) None
-      else if (r.distance > depthCap) None
+      else if (r.distance > effDepth) None
+      else if (!cfg.acceptsSub(r.url)) None
       else if (r.fetchTime - now > maxIntervalMs)
         Some(r.copy(fetchInterval = clampedInterval, fetchTime = now))
       else if (r.fetchTime <= now) Some(r)
       else None
     }
 
-    // A2 per-host cap via ranked window, then exact global topN (O1+O2).
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("host"))
-      .orderBy(col("score").desc, col("url").asc)
-    val list = eligible
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= maxPerHost)
-      .drop("rn")
+    // A2 per-host cap via ranked window (per-config onceCount override),
+    // then exact global topN (O1+O2). With no per-site caps the rank
+    // filter is a LITERAL, which Catalyst rewrites into WindowGroupLimit
+    // (partial top-k BEFORE the window shuffle — the frontier never
+    // shuffles un-capped rows); per-site caps fall back to a column
+    // filter bounded by the trie's max cap so the pushdown still prunes.
+    val defaultCap = maxPerHost
+    val list = if (!hasPerSiteCaps) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("host"))
+        .orderBy(col("score").desc, col("url").asc)
+      eligible
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= defaultCap)
+        .drop("rn")
+    } else {
+      val withCap = eligible.map { r =>
+        val cfg = trie.value.configOrDefault(r.url)
+        (r, if (cfg.maxPerHost > 0) cfg.maxPerHost else defaultCap)
+      }.withColumnRenamed("_1", "row").withColumnRenamed("_2", "cap")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("row.host"))
+        .orderBy(col("row.score").desc, col("row.url").asc)
+      withCap
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= col("cap"))
+        .select(col("row.*"))
+    }
+    val listFinal = list
       .orderBy(col("score").desc, col("url").asc)
       .limit(topN)
       .as[CrawlRow]
       .map(_.copy(lastBatch = batchId))
 
     val path = s"$root/batches/$batchId/fetchlist"
-    list.write.mode(SaveMode.Overwrite).parquet(path)
+    // limit() collapses to one partition; spread the fetchlist by host so
+    // the fetch stage's shuffle-write side is parallel, not one task
+    listFinal.repartition(numBuckets, col("host"))
+      .write.mode(SaveMode.Overwrite).parquet(path)
     val out = spark.read.parquet(path).as[CrawlRow]
     val counts = out.groupBy("bucket").count().as[(Int, Long)].collect()
       .map { case (b, c) => b.toString -> c }.toMap
@@ -175,20 +216,29 @@ final class CrawlPipeline(
   def fetch(fetchlist: Dataset[CrawlRow], batchId: String, now: Long)
       : Dataset[FetchResult] = {
     val f = fetcher
-    val crawlDelay = webCfg.crawlDelayMs
-    val lanes = math.max(1, webCfg.maxConcurrent)
-    val batchSalt = XxHash64.hashUtf8(batchId, 7L)
+    val defaultDelay = webCfg.crawlDelayMs
+    val defaultLanes = math.max(1, webCfg.maxConcurrent)
+    val trie = trieBc
 
+    // groupByKey inserts one hash exchange on host — the politeness
+    // partitioner (reference URLPartitioner byHost). NOTE: AQE's
+    // post-shuffle coalescing must stay OFF for this stage: rows are tiny
+    // but rows-per-second is compute-bound (image decode/encode), and
+    // byte-based coalescing collapses it to one task (measured: identical
+    // 24.8s fetch wall at 2 and 32 cores with coalescing on).
     val results = fetchlist
-      // O4: salted repartition — vary placement across batches like the
-      // reference's seed XOR (URLPartitioner.java:110-113) while keeping
-      // each host in exactly one task
-      .repartition(numBuckets, xxhash64(col("host"), lit(batchSalt)))
       .groupByKey(_.host)
       .flatMapGroups { (host, rows) =>
         val sorted = rows.toArray.sortBy(r => (-r.score, r.url))
         val disallows = SyntheticWeb.robotsDisallows(host) // robots cache:
         // one lookup per host group == per-executor LRU in the reference
+        // J2: per-host politeness overrides (HostDb q_cd/q_mt analog)
+        val hostCfg = trie.value.configOrDefault(s"http://$host/")
+        val crawlDelay =
+          if (hostCfg.crawlDelayMs > 0) hostCfg.crawlDelayMs else defaultDelay
+        val lanes =
+          if (hostCfg.maxConcurrent > 1) hostCfg.maxConcurrent
+          else defaultLanes
         val laneAvail = Array.fill(lanes)(now)
         sorted.iterator.map { r =>
           val lane = laneAvail.zipWithIndex.minBy { case (t, i) => (t, i) }._2
@@ -238,8 +288,9 @@ final class CrawlPipeline(
     results.write.mode(SaveMode.Overwrite).parquet(path)
     val fetchWallMs = (System.nanoTime() - t0) / 1e6
     val out = spark.read.parquet(path).as[FetchResult]
-    val n = out.count()
-    val vWall = out.agg(max(col("fetchEnd"))).as[Long].head() - now
+    val (n, maxEnd) = out.agg(count(lit(1)), max(col("fetchEnd")))
+      .as[(Long, Long)].head()
+    val vWall = maxEnd - now
     commitStage(log.nextSeq(), batchId, "fetch", path,
       Map("all" -> n), now,
       Map("pages" -> n.toDouble,
@@ -320,42 +371,40 @@ final class CrawlPipeline(
           distance = all.map(_.distance).min)
       }
 
-    val outcomes = fetched.map(r => (r.urlHash, r.outcome,
+    // The batch side is bounded by topN (generate's contract), so the
+    // merge is a BROADCAST join against the frontier scan — the 10^10-row
+    // frontier is never shuffled for the merge (reference needed a full
+    // partition/sort/group pass per updatedb, UrlWithScore.java:124-195).
+    val outcomes = fetched.map(r => Outcome(r.urlHash, r.outcome,
       Option(r.signature).getOrElse(Array.emptyByteArray), r.batchId))
-      .toDF("urlHash", "outcome", "signature", "batchId")
-      .as[(Long, Int, Array[Byte], String)]
 
-    // distance of the *source* page joins through the fetchlist rows: the
-    // fetched row's frontier entry carries distance; rebuild dist map from
-    // the frontier side during cogroup (frontier row for src is present).
-    val merged = frontier.groupByKey(_.urlHash)
-      .cogroup(outcomes.groupByKey(_._1)) { (key, frontRows, outRows) =>
-        val front = frontRows.toSeq.headOption
-        val out = outRows.toSeq.headOption
-        (front, out) match {
-          case (Some(row), Some((_, outcome, sig, b))) =>
-            val st0 = graft.core.ScheduleState(row.status, row.fetchTime,
-              row.prevFetchTime, row.fetchInterval, row.retries,
-              row.modifiedTime)
-            val changed = row.signature == null ||
-              !java.util.Arrays.equals(row.signature, sig)
-            val effOutcome =
-              if (outcome == FetchOutcome.Success && !changed)
-                FetchOutcome.NotModified
-              else outcome
-            val st1 = Schedule.next(st0, effOutcome, now, sched)
-            Iterator.single(row.copy(
-              status = st1.status,
-              fetchTime = st1.fetchTime,
-              prevFetchTime = st1.prevFetchTime,
-              fetchInterval = st1.fetchInterval,
-              retries = st1.retries,
-              modifiedTime = st1.modifiedTime,
-              prevSignature = row.signature,
-              signature = if (sig.isEmpty) row.signature else sig,
-              lastBatch = b))
-          case (Some(row), None) => Iterator.single(row)
-          case (None, _) => Iterator.empty // discovered handled below
+    val merged = frontier
+      .joinWith(broadcast(outcomes),
+        frontier("urlHash") === outcomes("urlHash"), "left_outer")
+      .map { case (row, out) =>
+        if (out == null) row
+        else {
+          val st0 = graft.core.ScheduleState(row.status, row.fetchTime,
+            row.prevFetchTime, row.fetchInterval, row.retries,
+            row.modifiedTime)
+          val changed = row.signature == null ||
+            !java.util.Arrays.equals(row.signature, out.signature)
+          val effOutcome =
+            if (out.outcome == FetchOutcome.Success && !changed)
+              FetchOutcome.NotModified
+            else out.outcome
+          val st1 = Schedule.next(st0, effOutcome, now, sched)
+          row.copy(
+            status = st1.status,
+            fetchTime = st1.fetchTime,
+            prevFetchTime = st1.prevFetchTime,
+            fetchInterval = st1.fetchInterval,
+            retries = st1.retries,
+            modifiedTime = st1.modifiedTime,
+            prevSignature = row.signature,
+            signature =
+              if (out.signature.isEmpty) row.signature else out.signature,
+            lastBatch = out.batchId)
         }
       }
 
@@ -366,10 +415,14 @@ final class CrawlPipeline(
     // the anti-join on the (much smaller) mightContain subset. At 10^10
     // rows the bloom is built per-partition and the anti-join is
     // storage-partitioned; here df.stat.bloomFilter suffices.
+    discAgg.persist() // consumed by both bloom branches
     val newDiscoveries =
       if (!additions) spark.emptyDataset[Discovered]
       else if (useBloomSeenFilter) {
-        val frontierCount = frontier.count()
+        // size the bloom from the commit log's lineage instead of a
+        // frontier re-count (one less full scan)
+        val frontierCount = log.lastOf("updatedb").orElse(log.lastOf("inject"))
+          .map(_.rowCount).getOrElse(1000L)
         val bloom = frontier.stat.bloomFilter("urlHash",
           math.max(1000L, frontierCount), 0.03)
         val bloomBc = spark.sparkContext.broadcast(bloom)
@@ -384,13 +437,18 @@ final class CrawlPipeline(
         discAgg.join(frontier.select(col("urlHash")), Seq("urlHash"),
           "left_anti").as[Discovered]
 
+    val trie = trieBc
     val newRows = newDiscoveries
       .filter(_.distance <= depthCap)
       .map { d =>
+        // F4: per-site custom score/interval for newly discovered rows
+        val cfg = trie.value.configOrDefault(d.url)
         Keys.rowOf(d.url, nb, now,
-          score = d.contrib,
+          score = if (cfg.customScore > 0f) cfg.customScore else d.contrib,
           distance = d.distance,
-          intervalSec = sched.defaultIntervalSec)
+          intervalSec =
+            if (cfg.customIntervalSec > 0) cfg.customIntervalSec
+            else sched.defaultIntervalSec)
       }
 
     // distance refinement for existing rows: min(existing, discovered+src)
@@ -402,6 +460,7 @@ final class CrawlPipeline(
     val t0 = System.nanoTime()
     val counts = writeFrontier(refreshed, path)
     val mergeMs = (System.nanoTime() - t0) / 1e6
+    discAgg.unpersist()
     commitStage(seq, batchId, "updatedb", path, counts, now,
       Map("mergeWallMs" -> mergeMs))
     readFrontier(path)

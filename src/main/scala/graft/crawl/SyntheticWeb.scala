@@ -20,7 +20,9 @@ final case class WebConfig(
     imagesPerPage: Int = 3,
     maxDelayMs: Int = 200,
     crawlDelayMs: Long = 50L, // politeness budget per host
-    maxConcurrent: Int = 1) // concurrent fetches per host
+    maxConcurrent: Int = 1, // concurrent fetches per host
+    imgMinPx: Int = 16, // image payload size range (bench uses 64-160:
+    imgPxRange: Int = 33) // realistic crawl payloads, compute-dominant)
 
 sealed trait WebContent
 final case class HtmlPage(outlinks: Map[String, String]) extends WebContent
@@ -74,10 +76,10 @@ object SyntheticWeb {
     math.floorMod(h64(url), cfg.maxDelayMs.toLong) + 1
 
   /** Image spec for an image URL: size, format, caption, pixels-seed. */
-  def imageSpec(url: String): (Int, Int, String, String, Long) = {
+  def imageSpec(url: String, cfg: WebConfig): (Int, Int, String, String, Long) = {
     val h = h64(url)
-    val w = 16 + math.floorMod(h >>> 8, 33L).toInt
-    val ht = 16 + math.floorMod(h >>> 16, 33L).toInt
+    val w = cfg.imgMinPx + math.floorMod(h >>> 8, cfg.imgPxRange.toLong).toInt
+    val ht = cfg.imgMinPx + math.floorMod(h >>> 16, cfg.imgPxRange.toLong).toInt
     val fmt = if (url.endsWith(".png")) "png" else "jpeg"
     val host = graft.core.Urls.host(url)
     val caption = f"caption ${h & 0xFFFFFFFFL}%08x of $host"
@@ -99,7 +101,7 @@ object SyntheticWeb {
           val page = pageS.toInt
           if (page >= cfg.pagesPerHost) NotFound
           else HtmlPage(Map(pageUrl(hostIdx, page) -> "back"))
-        case ImgRe(_, _, _) => imageContent(url)
+        case ImgRe(_, _, _) => imageContent(url, cfg)
         case _ => NotFound
       }
     case _ => NotFound
@@ -122,8 +124,8 @@ object SyntheticWeb {
     }
   }
 
-  private def imageContent(url: String): WebContent = {
-    val (w, ht, fmt, caption, seed) = imageSpec(url)
+  private def imageContent(url: String, cfg: WebConfig): WebContent = {
+    val (w, ht, fmt, caption, seed) = imageSpec(url, cfg)
     val px = ImageCodec.pixels(seed, w, ht)
     val bytes = ImageCodec.encode(px, w, ht, fmt)
     ImageFile(bytes, w, ht, fmt, caption, ImageCodec.phash(px, w, ht))

@@ -60,6 +60,10 @@ final case class FetchResult(
     fetchEnd: Long,
     batchId: String)
 
+/** One fetch outcome keyed for the updatedb broadcast merge. */
+final case class Outcome(urlHash: Long, outcome: Int,
+    signature: Array[Byte], batchId: String)
+
 /** A discovered URL emitted by parse toward updatedb. `contrib` is the
   * inherited-score contribution srcScore/srcOutDegree; the per-destination
   * aggregate takes max(contrib) (order-independent — float sums are not)

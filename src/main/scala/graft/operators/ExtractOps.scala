@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Field-extraction rule engine (C4/C6 — reference:
+  * parse/element/colrule/RegexRule.java:40-185, the
+  * `field~start~end~regex~subst~delTag~calc` DSL, and
+  * colrule/DateCalcUtil.java:11-111 date arithmetic).
+  *
+  * A rule compiles to a Catalyst Column (regexp_extract + try_cast) — the
+  * whole ruleset is one codegen'd projection, no UDF, no per-row
+  * interpreter (the reference interprets the DSL per row per rule).
+  */
+final case class FieldRule(
+    field: String,
+    pattern: String,
+    group: Int = 1,
+    castTo: String = "string") // string | int | long | double | timestamp
+
+object ExtractOps {
+
+  def compile(textCol: Column, r: FieldRule): Column = {
+    val raw = regexp_extract(textCol, r.pattern, r.group)
+    val casted = r.castTo match {
+      case "string" => raw
+      // empty-match guard: ANSI mode (Spark 4 default) makes cast('')
+      // throw; the pattern guarantees digits-or-empty
+      case t => when(raw === "", lit(null)).otherwise(raw.cast(t))
+    }
+    casted.as(r.field)
+  }
+
+  def applyRules(df: DataFrame, textCol: String, idCols: Seq[String],
+      rules: Seq[FieldRule]): DataFrame =
+    df.select(idCols.map(col) ++ rules.map(r => compile(col(textCol), r)): _*)
+
+  /** Oracle-checked extraction over `documents`: the reference's
+    * column-rule shapes (keyword pick, positional capture, numeric cast).
+    */
+  def fieldExtract(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    applyRules(docs, "text", Seq("doc_id"), Seq(
+      FieldRule("op", "(scan|join|merge|sort)"),
+      FieldRule("after_the", "the ([a-z]+)"),
+      FieldRule("first_num", "([0-9]+)", 1, "long")))
+  }
+
+  /** C6 date parsing/arithmetic (DateCalcUtil `sysdate(+-n)` analogs):
+    * interval add, truncation, field extraction.
+    */
+  def dateCalc(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet").select(
+      col("event_id"),
+      (col("ts") + expr("INTERVAL 1 DAY")).as("next_day"),
+      date_trunc("day", col("ts")).cast("date").as("day"), // DuckDB yields DATE
+      hour(col("ts")).cast("long").as("hr"), // DuckDB extract() is BIGINT
+      datediff(lit("2024-02-01").cast("date"), col("ts").cast("date"))
+        .cast("long").as("days_to_feb"))
+
+  val oracles: Map[String, String] = Map(
+    "q_field_extract" ->
+      ("SELECT doc_id, regexp_extract(text, '(scan|join|merge|sort)', 1) AS op, " +
+        "regexp_extract(text, 'the ([a-z]+)', 1) AS after_the, " +
+        "TRY_CAST(regexp_extract(text, '([0-9]+)', 1) AS BIGINT) AS first_num " +
+        "FROM documents"),
+    "q_date_calc" ->
+      ("SELECT event_id, ts + INTERVAL 1 DAY AS next_day, " +
+        "date_trunc('day', ts) AS day, extract(hour FROM ts) AS hr, " +
+        "datediff('day', ts::DATE, DATE '2024-02-01') AS days_to_feb " +
+        "FROM events"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_field_extract" -> fieldExtract _,
+    "q_date_calc" -> dateCalc _)
+}

@@ -89,7 +89,7 @@ class CrawlParitySpec extends AnyFunSuite {
     }
     assert(rows.nonEmpty, "no payloads fetched")
     rows.foreach { p =>
-      val (w, h, fmt, caption, seed) = SyntheticWeb.imageSpec(p.image_id)
+      val (w, h, fmt, caption, seed) = SyntheticWeb.imageSpec(p.image_id, webCfg)
       assert(p.caption === caption, s"caption mismatch for ${p.image_id}")
       assert(p.fmt === fmt)
       assert(p.w === w && p.h === h)
@@ -104,6 +104,39 @@ class CrawlParitySpec extends AnyFunSuite {
       }
       assert(p.phash === ImageCodec.phash(refPx, w, h))
     }
+  }
+
+  test("per-site config overrides hold parity (delay/lanes/caps/score/depth)") {
+    val cfgs = graft.core.ConfigTrie.build(Seq(
+      // host 1: slow + parallel politeness
+      "http://www.test-1.example/" -> graft.core.SiteConfig(cfgId = 1,
+        crawlDelayMs = 200L, maxConcurrent = 3),
+      // host 2: tight per-host cap and custom score for discoveries
+      "http://www.test-2.example/" -> graft.core.SiteConfig(cfgId = 2,
+        maxPerHost = 2, customScore = 5.0f, customIntervalSec = 3600),
+      // host 3 subtree: never crawl /private/
+      "http://www.test-3.example/" -> graft.core.SiteConfig(cfgId = 3,
+        subFilters = Seq(graft.core.FilterRule(accept = false,
+          ".*/private/.*".r)))))
+    val dir = Files.createTempDirectory("crawl-cfg").toString
+    val cfg = webCfg.copy(numHosts = 5, pagesPerHost = 15)
+    val p = new CrawlPipeline(spark, dir, cfg, numBuckets = 4, configs = cfgs)
+    p.runBatches(3, 40, 6)
+    val s = new Simulator(cfg, configs = cfgs)
+    s.runBatches(3, 40, 6)
+    val frontierPath = p.log.lastOf("updatedb").get.frontierPath
+    val sparkRows = p.readFrontier(frontierPath).collect()
+      .map(r => r.url -> (r.status, r.fetchTime, r.score, r.fetchInterval))
+      .toMap
+    assert(sparkRows.keySet === s.seenSet)
+    s.frontier.foreach { case (url, r) =>
+      assert(sparkRows(url) === ((r.status, r.fetchTime, r.score,
+        r.interval)), s"mismatch for $url")
+    }
+    // the overrides actually bit: custom score visible on host-2 discoveries
+    val host2New = s.frontier.values.filter(r =>
+      r.url.contains("test-2") && r.distance > 0)
+    assert(host2New.exists(_.score == 5.0f))
   }
 
   test("resume: killed-after-fetch batch completes identically from commit log") {

@@ -16,7 +16,8 @@ import graft.core.{CrawlStatus, FetchOutcome, Schedule, ScheduleConfig, Urls, Xx
 final class Simulator(
     webCfg: WebConfig,
     scheduleCfg: ScheduleConfig = ScheduleConfig(),
-    maxDepth: Int = 3) {
+    maxDepth: Int = 3,
+    configs: graft.core.ConfigTrie = graft.core.ConfigTrie.empty) {
 
   final case class SimRow(
       url: String,
@@ -47,9 +48,13 @@ final class Simulator(
 
   def generate(now: Long, topN: Int, maxPerHost: Int): Seq[SimRow] = {
     val eligible = frontier.values.filter { r =>
+      val cfg = configs.configOrDefault(r.url)
+      val effDepth =
+        if (cfg.fetchDepth != Int.MaxValue) cfg.fetchDepth else maxDepth
       r.status != CrawlStatus.Gone &&
         r.retries <= scheduleCfg.retryMax &&
-        r.distance <= maxDepth &&
+        r.distance <= effDepth &&
+        cfg.acceptsSub(r.url) &&
         // far-future rows are clamp-eligible; the clamp itself only lives
         // on the fetchlist copy (the merge reads frontier state), matching
         // CrawlPipeline.generate
@@ -60,8 +65,10 @@ final class Simulator(
     val perHost = mutable.Map[String, Int]().withDefaultValue(0)
     val capped = ordered.filter { r =>
       val h = Urls.host(r.url)
+      val cfg = configs.configOrDefault(r.url)
+      val cap = if (cfg.maxPerHost > 0) cfg.maxPerHost else maxPerHost
       perHost(h) += 1
-      perHost(h) <= maxPerHost
+      perHost(h) <= cap
     }
     capped.take(topN)
   }
@@ -78,7 +85,14 @@ final class Simulator(
     byHost.foreach { case (host, rows) =>
       val sorted = rows.sortBy(r => (-r.score, r.url))
       val disallows = SyntheticWeb.robotsDisallows(host)
-      val lanes = Array.fill(math.max(1, webCfg.maxConcurrent))(now)
+      val hostCfg = configs.configOrDefault(s"http://$host/")
+      val crawlDelayMs =
+        if (hostCfg.crawlDelayMs > 0) hostCfg.crawlDelayMs
+        else webCfg.crawlDelayMs
+      val nLanes =
+        if (hostCfg.maxConcurrent > 1) hostCfg.maxConcurrent
+        else math.max(1, webCfg.maxConcurrent)
+      val lanes = Array.fill(nLanes)(now)
       sorted.foreach { r =>
         val lane = lanes.zipWithIndex.minBy { case (t, i) => (t, i) }._2
         val start = lanes(lane)
@@ -88,7 +102,7 @@ final class Simulator(
           outcomes += ((r, FetchOutcome.Gone, None))
         } else {
           val end = start + SyntheticWeb.delayMs(r.url, webCfg)
-          lanes(lane) = end + webCfg.crawlDelayMs
+          lanes(lane) = end + crawlDelayMs
           batchFetches += ((batchId, r.url, start))
           SyntheticWeb.content(r.url, webCfg) match {
             case HtmlPage(outlinks) =>
@@ -149,9 +163,15 @@ final class Simulator(
       if (!frontier.contains(u)) {
         val dist = contribs.map(_._3).min
         if (dist <= maxDepth) {
-          val score = contribs.map(_._2).max
+          val cfg = configs.configOrDefault(u)
+          val score =
+            if (cfg.customScore > 0f) cfg.customScore
+            else contribs.map(_._2).max
+          val interval =
+            if (cfg.customIntervalSec > 0) cfg.customIntervalSec
+            else scheduleCfg.defaultIntervalSec
           frontier(u) = SimRow(u, CrawlStatus.Unfetched, score, now, 0L,
-            scheduleCfg.defaultIntervalSec, 0, 0L, None, dist, "")
+            interval, 0, 0L, None, dist, "")
         }
       }
     }
