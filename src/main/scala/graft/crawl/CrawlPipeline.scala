@@ -322,7 +322,10 @@ final class CrawlPipeline(
       }
     val path = s"$root/batches/$batchId/payload"
     out.write.mode(SaveMode.Overwrite).parquet(path)
-    spark.read.parquet(path).as[PayloadRow]
+    val res = spark.read.parquet(path).as[PayloadRow]
+    commitStage(log.nextSeq(), batchId, "payload", path,
+      Map("all" -> res.count()), 0L)
+    res
   }
 
   // --------------------------------------------------------------- updatedb
@@ -361,15 +364,21 @@ final class CrawlPipeline(
 
     // per-destination aggregation (J1 analog of the reducer's sorted
     // inlink fold): min distance, max score contribution (both
-    // order-independent => deterministic under any shuffle order)
+    // order-independent => deterministic under any shuffle order).
+    // Columnar agg, not mapGroups: codegen'd hash aggregate WITH map-side
+    // partial aggregation — the outlink explosion is the largest data
+    // volume in the pipeline, and partial agg collapses it before the
+    // shuffle. first() is safe: same urlHash => same url/host/bucket.
     val discAgg = discovered
-      .groupByKey(_.urlHash)
-      .mapGroups { (_, it) =>
-        val all = it.toArray
-        all.head.copy(contrib = all.map(_.contrib).max,
-          inlinks = all.length,
-          distance = all.map(_.distance).min)
-      }
+      .groupBy(col("urlHash"))
+      .agg(first(col("url")).as("url"),
+        first(col("host")).as("host"),
+        first(col("domain")).as("domain"),
+        first(col("bucket")).as("bucket"),
+        max(col("contrib")).as("contrib"),
+        count(lit(1)).cast("int").as("inlinks"),
+        min(col("distance")).as("distance"))
+      .as[Discovered]
 
     // The batch side is bounded by topN (generate's contract), so the
     // merge is a BROADCAST join against the frontier scan — the 10^10-row
@@ -480,18 +489,27 @@ final class CrawlPipeline(
       case None =>
         inject(SyntheticWeb.seeds(webCfg), startTime)
     }
-    val doneBatches = log.commits().filter(_.stage == "updatedb")
-      .map(_.batchId).toSet
+    val committed = log.commits().map(c => (c.batchId, c.stage)).toSet
     for (i <- 1 to depth) {
       val batchId = s"b$i"
-      if (!doneBatches.contains(batchId)) {
+      if (!committed((batchId, "updatedb"))) {
         val now = startTime + i * 3600000L // 1h virtual tick per batch
-        val list = generate(frontier, batchId, now, topN, maxPerHost)
+        // T2 step gate: a committed stage is never re-run — resume picks
+        // up the staged parquet exactly where the crash left off
+        val list =
+          if (committed((batchId, "generate")))
+            spark.read.parquet(s"$root/batches/$batchId/fetchlist")
+              .as[CrawlRow]
+          else generate(frontier, batchId, now, topN, maxPerHost)
         if (list.isEmpty) {
           // T2: empty step => skip remaining stages (exitValue=2 analog)
         } else {
-          val fetched = fetch(list, batchId, now)
-          payloads(fetched, batchId)
+          val fetched =
+            if (committed((batchId, "fetch")))
+              spark.read.parquet(s"$root/batches/$batchId/fetched")
+                .as[FetchResult]
+            else fetch(list, batchId, now)
+          if (!committed((batchId, "payload"))) payloads(fetched, batchId)
           frontier = updatedb(frontier, fetched, batchId, now)
         }
       }

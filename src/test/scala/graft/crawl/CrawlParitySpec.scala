@@ -164,5 +164,21 @@ class CrawlParitySpec extends AnyFunSuite {
       c.metrics.contains("virtualPagesPerSec")))
     assert(commits.filter(_.stage == "updatedb")
       .forall(_.partitionCounts.nonEmpty))
+    // T2 step gate: the run-1 fetch of b1 was REUSED, not re-run —
+    // exactly one fetch commit for b1 across both runs
+    assert(commits.count(c => c.batchId == "b1" && c.stage == "fetch") === 1)
+  }
+
+  test("bloom seen-filter changes nothing but the plan") {
+    val cfg = webCfg.copy(numHosts = 5, pagesPerHost = 12)
+    def run(bloom: Boolean): Set[(String, Int, Long, Float)] = {
+      val dir = Files.createTempDirectory(s"crawl-bloom-$bloom").toString
+      val p = new CrawlPipeline(spark, dir, cfg, numBuckets = 4,
+        useBloomSeenFilter = bloom)
+      p.runBatches(2, 40, 8)
+      p.readFrontier(p.log.lastOf("updatedb").get.frontierPath)
+        .collect().map(r => (r.url, r.status, r.fetchTime, r.score)).toSet
+    }
+    assert(run(bloom = true) === run(bloom = false))
   }
 }
