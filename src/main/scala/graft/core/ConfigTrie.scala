@@ -19,8 +19,18 @@ final case class SiteConfig(
     maxPerHost: Int = -1, // generate.max.count analog; -1 = unlimited
     crawlDelayMs: Long = 0L, // politeness delay between fetches
     maxConcurrent: Int = 1, // concurrent fetches per host
-    subFilters: Seq[FilterRule] = Nil) // per-node ±regex (SubURLFilters)
+    subFilters: Seq[FilterRule] = Nil, // per-node ±regex (SubURLFilters)
+    rewrite: Option[(String, String)] = None) // F6 pattern->substitution
     extends Serializable {
+
+  /** F6 URL rewrite (reference urlfilter/RegexRule.java:1-22, applied
+    * GeneratorMapper.java:208-219 / DbUpdateReducer.java:117-120 —
+    * `pattern~substitution`, old key replaced by the rewritten URL).
+    */
+  def rewriteUrl(url: String): String = rewrite match {
+    case Some((pat, sub)) => url.replaceAll(pat, sub)
+    case None => url
+  }
 
   def acceptsSub(url: String): Boolean =
     if (subFilters.isEmpty) true

@@ -345,6 +345,7 @@ final class CrawlPipeline(
     val sched = scheduleCfg
     val depthCap = maxDepth
     val additions = additionsAllowed
+    val trie = trieBc
 
     // T7: redirects feed the discovery stream like outlinks
     val discovered: Dataset[Discovered] = fetched.flatMap { r =>
@@ -352,13 +353,20 @@ final class CrawlPipeline(
         Option(r.redirectTo).iterator
       val n = math.max(1, r.outlinks.size + Option(r.redirectTo).size)
       outs.flatMap { raw =>
-        Urls.canonicalize(raw).filter(UrlFilters.accepts).map { u =>
-          val host = Urls.host(u)
-          Discovered(XxHash64.hashUtf8(u, 42L), u, host,
-            Urls.domain(host), Keys.bucketOf(host, nb),
-            contrib = r.srcScore / n, inlinks = 1,
-            distance = r.srcDistance + 1)
-        }
+        // F6: per-site rewrite applied between canonicalize passes — the
+        // rewritten URL is what enters the frontier (the reference's
+        // delete-old-key + emit-new collapses to this at steady state)
+        Urls.canonicalize(raw)
+          .map(u => trie.value.configOrDefault(u).rewriteUrl(u))
+          .flatMap(Urls.canonicalize)
+          .filter(UrlFilters.accepts)
+          .map { u =>
+            val host = Urls.host(u)
+            Discovered(XxHash64.hashUtf8(u, 42L), u, host,
+              Urls.domain(host), Keys.bucketOf(host, nb),
+              contrib = r.srcScore / n, inlinks = 1,
+              distance = r.srcDistance + 1)
+          }
       }
     }
 
@@ -385,7 +393,8 @@ final class CrawlPipeline(
     // frontier is never shuffled for the merge (reference needed a full
     // partition/sort/group pass per updatedb, UrlWithScore.java:124-195).
     val outcomes = fetched.map(r => Outcome(r.urlHash, r.outcome,
-      Option(r.signature).getOrElse(Array.emptyByteArray), r.batchId))
+      Option(r.signature).getOrElse(Array.emptyByteArray), r.batchId,
+      Option(r.redirectTo).getOrElse("")))
 
     val merged = frontier
       .joinWith(broadcast(outcomes),
@@ -413,6 +422,13 @@ final class CrawlPipeline(
             prevSignature = row.signature,
             signature =
               if (out.signature.isEmpty) row.signature else out.signature,
+            // C3 chooseRepr: permanent redirect target becomes the
+            // representative URL (URLUtil.chooseRepr simplified: perm
+            // redirect wins; FetcherReducer.java:648-656)
+            reprUrl =
+              if (out.outcome == FetchOutcome.RedirPerm &&
+                out.redirectTo.nonEmpty) out.redirectTo
+              else row.reprUrl,
             lastBatch = out.batchId)
         }
       }
@@ -446,7 +462,6 @@ final class CrawlPipeline(
         discAgg.join(frontier.select(col("urlHash")), Seq("urlHash"),
           "left_anti").as[Discovered]
 
-    val trie = trieBc
     val newRows = newDiscoveries
       .filter(_.distance <= depthCap)
       .map { d =>

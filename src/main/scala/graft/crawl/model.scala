@@ -62,7 +62,7 @@ final case class FetchResult(
 
 /** One fetch outcome keyed for the updatedb broadcast merge. */
 final case class Outcome(urlHash: Long, outcome: Int,
-    signature: Array[Byte], batchId: String)
+    signature: Array[Byte], batchId: String, redirectTo: String)
 
 /** A discovered URL emitted by parse toward updatedb. `contrib` is the
   * inherited-score contribution srcScore/srcOutDegree; the per-destination

@@ -169,6 +169,31 @@ class CrawlParitySpec extends AnyFunSuite {
     assert(commits.count(c => c.batchId == "b1" && c.stage == "fetch") === 1)
   }
 
+  test("F6 rewrite redirects /private/ discoveries; C3 reprUrl on perm redirects") {
+    val cfgs = graft.core.ConfigTrie.build(Seq(
+      "http://www.test-0.example/" -> graft.core.SiteConfig(cfgId = 9,
+        rewrite = Some(("/private/page(\\d+)\\.html", "/page$1.html")))))
+    val cfg = webCfg.copy(numHosts = 4, pagesPerHost = 15)
+    val dir = Files.createTempDirectory("crawl-rewrite").toString
+    val p = new CrawlPipeline(spark, dir, cfg, numBuckets = 4, configs = cfgs)
+    p.runBatches(3, 50, 8)
+    val s = new Simulator(cfg, configs = cfgs)
+    s.runBatches(3, 50, 8)
+    val rows = p.readFrontier(p.log.lastOf("updatedb").get.frontierPath)
+      .collect()
+    assert(rows.map(_.url).toSet === s.seenSet)
+    // rewrite bit: no /private/ URL of host 0 ever entered the frontier
+    assert(!rows.exists(r => r.url.contains("test-0") &&
+      r.url.contains("/private/")))
+    // reprUrl parity on permanently redirected rows
+    val simRepr = s.frontier.values.filter(_.reprUrl.nonEmpty)
+      .map(r => r.url -> r.reprUrl).toMap
+    val sparkRepr = rows.filter(r => r.reprUrl != null && r.reprUrl.nonEmpty)
+      .map(r => r.url -> r.reprUrl).toMap
+    assert(sparkRepr === simRepr)
+    assert(simRepr.nonEmpty, "no permanent redirects exercised")
+  }
+
   test("bloom seen-filter changes nothing but the plan") {
     val cfg = webCfg.copy(numHosts = 5, pagesPerHost = 12)
     def run(bloom: Boolean): Set[(String, Int, Long, Float)] = {

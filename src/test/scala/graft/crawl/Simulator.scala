@@ -30,7 +30,8 @@ final class Simulator(
       var modifiedTime: Long,
       var signature: Option[Seq[Byte]],
       var distance: Int,
-      var lastBatch: String)
+      var lastBatch: String,
+      var reprUrl: String = "")
 
   val frontier = mutable.LinkedHashMap[String, SimRow]() // url -> row
   /** (batchId, url, fetchStart) in fetch-start order — the crawl ordering. */
@@ -113,6 +114,8 @@ final class Simulator(
               val n = math.max(1, outlinks.size)
               outlinks.keys.foreach { raw =>
                 Urls.canonicalize(raw)
+                  .map(u => configs.configOrDefault(u).rewriteUrl(u))
+                  .flatMap(Urls.canonicalize)
                   .filter(graft.core.UrlFilterChain.default.accepts)
                   .foreach(u =>
                     discovered += ((u, r.score / n, r.distance + 1)))
@@ -124,7 +127,10 @@ final class Simulator(
               outcomes += ((r,
                 if (perm) FetchOutcome.RedirPerm else FetchOutcome.RedirTemp,
                 None))
+              if (perm) r.reprUrl = to
               Urls.canonicalize(to)
+                .map(u => configs.configOrDefault(u).rewriteUrl(u))
+                .flatMap(Urls.canonicalize)
                 .filter(graft.core.UrlFilterChain.default.accepts)
                 .foreach(u => discovered += ((u, r.score, r.distance + 1)))
             case NotFound => outcomes += ((r, FetchOutcome.Gone, None))
