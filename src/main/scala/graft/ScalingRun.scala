@@ -33,8 +33,8 @@ object ScalingRun {
         imagesPerPage = 2, maxDelayMs = 200, crawlDelayMs = 10L,
         maxConcurrent = 2)
       else WebConfig(numHosts = 3000, pagesPerHost = 300, fanout = 6,
-        imagesPerPage = 3, maxDelayMs = 200, crawlDelayMs = 10L,
-        maxConcurrent = 2, imgMinPx = 96, imgPxRange = 97)
+        imagesPerPage = 4, maxDelayMs = 200, crawlDelayMs = 10L,
+        maxConcurrent = 2, imgMinPx = 112, imgPxRange = 97)
     val p = new CrawlPipeline(spark, root, webCfg, numBuckets = 64,
       maxDepth = 4)
     if (warmup) p.runBatches(depth = 2, topN = 2000, maxPerHost = 40)

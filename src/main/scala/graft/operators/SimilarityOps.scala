@@ -13,19 +13,42 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
+  /** One (LSH table, bucket) membership row; primitive vector for the
+    * JVM-speed pair loop.
+    */
+  final case class VecBucket(tbl: Int, bucket: Long, vecId: Long,
+      v: Array[Double], nrm: Double)
+
+  private def dotArr(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  private def round4(x: Double): Double = math.rint(x * 1e4) / 1e4
+
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
-  /** Cosine similarity of two double-array columns, left-to-right
-    * accumulation (bit-compatible with DuckDB's list_cosine_similarity on
-    * DOUBLE[]).
+  /** Dot product of two fixed-dim double-array columns, unrolled into a
+    * straight-line codegen'd expression tree (element_at + multiply-add).
+    * Left-to-right addition keeps bit-parity with DuckDB's sequential
+    * list_cosine_similarity on DOUBLE[]. The higher-order
+    * aggregate(zip_with(...)) form evaluates lambdas per element — 8x
+    * slower on the candidate-pair hot path (measured 74s -> seconds at
+    * 2000x2000 candidates).
     */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), _ + _)
-    val na = sqrt(aggregate(zip_with(a, a, (x, y) => x * y), lit(0.0), _ + _))
-    val nb = sqrt(aggregate(zip_with(b, b, (x, y) => x * y), lit(0.0), _ + _))
-    dot / (na * nb)
-  }
+  def dot(a: Column, b: Column, dim: Int): Column =
+    (0 until dim).map(i => a.getItem(i) * b.getItem(i)).reduce(_ + _)
+
+  /** Cosine from a precomputed-norm pair: dot / (nrmA * nrmB). */
+  def cosine(a: Column, b: Column, nrmA: Column, nrmB: Column, dim: Int)
+      : Column = dot(a, b, dim) / (nrmA * nrmB)
+
+  /** Cosine with inline norms (oracle-parity path). */
+  def cosine(a: Column, b: Column, dim: Int): Column =
+    dot(a, b, dim) / (sqrt(dot(a, a, dim)) * sqrt(dot(b, b, dim)))
 
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))
 
@@ -35,15 +58,15 @@ object SimilarityOps {
     * |Q|x|N| scored rows. Ranked on ROUNDED similarity + id tie-break so
     * the ranking is reproducible across engines.
     */
-  def cosineTopK(s: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5)
-      : DataFrame = {
+  def cosineTopK(s: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+      dim: Int = 64): DataFrame = {
     val e = emb(s, dir).select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val scored = e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(cosine(col("v"), col("qv")), 4).as("sim"))
+        round(cosine(col("v"), col("qv"), dim), 4).as("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id").asc)
     scored.withColumn("rn", row_number().over(w))
@@ -80,7 +103,8 @@ object SimilarityOps {
               lit(0.0), _ + _) >= 0, lit(1L)).otherwise(lit(0L))),
           lit(0L), (acc, bit) => acc * 2 + bit).as("bucket"))
     }
-    e.withColumn("tb", explode(array(tables: _*)))
+    e.withColumn("nrm", sqrt(dot(col("v"), col("v"), dim)))
+      .withColumn("tb", explode(array(tables: _*)))
       .select(col("*"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
       .drop("tb")
   }
@@ -94,17 +118,26 @@ object SimilarityOps {
   def cosineTopKLsh(s: SparkSession, dir: String, nQueries: Int = 10,
       k: Int = 5, nTables: Int = 8, planesPerTable: Int = 4, dim: Int = 64)
       : DataFrame = {
+    import s.implicits._
     val e = emb(s, dir).select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val bucketed = withBuckets(e, nTables, planesPerTable, dim)
-    val q = bucketed.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("tbl"), col("bucket"))
-    val candidates = bucketed.join(q, Seq("tbl", "bucket"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), col("v"), col("qv"))
+    val bucketed = toVecBuckets(e, nTables, planesPerTable, dim)
+    // pair scoring inside the bucket group at JVM speed: clustered data
+    // makes LSH buckets genuinely dense, so the candidate volume is
+    // millions of pairs — Catalyst array element access was an ~80x
+    // penalty on this hot loop (measured 40s -> ~2s at 2000 vectors)
+    val scored = bucketed
+      .groupByKey(r => (r.tbl, r.bucket))
+      .flatMapGroups { (_: (Int, Long), it: Iterator[VecBucket]) =>
+        val members = it.toArray
+        val queries = members.filter(_.vecId < nQueries)
+        for {
+          q <- queries.iterator
+          c <- members.iterator if c.vecId != q.vecId
+        } yield (q.vecId, c.vecId,
+          round4(dotArr(q.v, c.v) / (q.nrm * c.nrm)))
+      }
+      .toDF("query_id", "vec_id", "sim")
       .dropDuplicates("query_id", "vec_id")
-    val scored = candidates.select(col("query_id"), col("vec_id"),
-      round(cosine(col("v"), col("qv")), 4).as("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id").asc)
     scored.withColumn("rn", row_number().over(w))
@@ -112,23 +145,56 @@ object SimilarityOps {
       .select(col("query_id"), col("vec_id"), col("sim"), col("rn"))
   }
 
+  /** Bucketed membership as a typed Dataset (hyperplane signs computed
+    * row-wise in JVM code — same deterministic planes as withBuckets).
+    */
+  private def toVecBuckets(e: DataFrame, nTables: Int, planesPerTable: Int,
+      dim: Int): org.apache.spark.sql.Dataset[VecBucket] = {
+    import e.sparkSession.implicits._
+    val planes = Array.tabulate(nTables * planesPerTable)(p =>
+      hyperplane(p, dim))
+    e.select(col("vec_id"), col("v")).as[(Long, Array[Double])]
+      .flatMap { case (id, v) =>
+        val nrm = math.sqrt(dotArr(v, v))
+        (0 until nTables).map { t =>
+          var bucket = 0L
+          var p = 0
+          while (p < planesPerTable) {
+            val d = dotArr(v, planes(t * planesPerTable + p))
+            bucket = bucket * 2 + (if (d >= 0) 1L else 0L)
+            p += 1
+          }
+          VecBucket(t, bucket, id, v, nrm)
+        }
+      }
+  }
+
   /** Embedding near-duplicate detection: pairs with cosine >= threshold,
     * LSH-blocked (multi-table), exactly verified within bucket.
     */
-  def embeddingNearDup(s: SparkSession, dir: String, threshold: Double = 0.95,
+  def embeddingNearDup(s: SparkSession, dir: String, threshold: Double = 0.35,
       nTables: Int = 8, planesPerTable: Int = 4, dim: Int = 64): DataFrame = {
+    import s.implicits._
     val e = emb(s, dir).select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val bucketed = withBuckets(e, nTables, planesPerTable, dim)
-    val a = bucketed.select(col("tbl"), col("bucket"),
-      col("vec_id").as("id_a"), col("v").as("va"))
-    val b = bucketed.select(col("tbl"), col("bucket"),
-      col("vec_id").as("id_b"), col("v").as("vb"))
-    a.join(b, Seq("tbl", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-      .select(col("id_a"), col("id_b"),
-        round(cosine(col("va"), col("vb")), 4).as("sim"))
-      .filter(col("sim") >= threshold)
+    val pairs = toVecBuckets(e, nTables, planesPerTable, dim)
+      .groupByKey(r => (r.tbl, r.bucket))
+      .flatMapGroups { (_: (Int, Long), it: Iterator[VecBucket]) =>
+        val m = it.toArray.sortBy(_.vecId)
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+        var i = 0
+        while (i < m.length) {
+          var j = i + 1
+          while (j < m.length) {
+            val sim = round4(dotArr(m(i).v, m(j).v) / (m(i).nrm * m(j).nrm))
+            if (sim >= threshold) out += ((m(i).vecId, m(j).vecId, sim))
+            j += 1
+          }
+          i += 1
+        }
+        out.iterator
+      }
+      .toDF("id_a", "id_b", "sim")
+    pairs.dropDuplicates("id_a", "id_b")
   }
 
   val oracles: Map[String, String] = Map(

@@ -84,11 +84,14 @@ class OperatorsSpec extends AnyFunSuite {
 
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     import spark.implicits._
-    val rows = SimilarityOps.embeddingNearDup(spark, sfDir, threshold = 0.9)
+    // max pairwise cosine in the synthetic embeddings is ~0.51; 0.3
+    // yields a real (non-empty) result the assertions can bite on
+    val rows = SimilarityOps.embeddingNearDup(spark, sfDir, threshold = 0.3)
       .as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
     rows.foreach { case (a, b, s) =>
       assert(a < b)
-      assert(s >= 0.9)
+      assert(s >= 0.3)
     }
   }
 
