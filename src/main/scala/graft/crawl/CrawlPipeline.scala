@@ -396,10 +396,23 @@ final class CrawlPipeline(
       Option(r.signature).getOrElse(Array.emptyByteArray), r.batchId,
       Option(r.redirectTo).getOrElse("")))
 
+    // A4 for existing rows (DbUpdateReducer.java:235-250): a rediscovery
+    // through a shorter path lowers the stored distance. The discovered
+    // aggregate is topN*fanout-bounded, so it broadcasts like the
+    // outcomes side — the frontier still never shuffles.
+    val discDist = discAgg
+      .map(d => (d.urlHash, d.distance))
+      .toDF("urlHash", "newDist")
+      .as[(Long, Int)]
     val merged = frontier
       .joinWith(broadcast(outcomes),
         frontier("urlHash") === outcomes("urlHash"), "left_outer")
-      .map { case (row, out) =>
+      .joinWith(broadcast(discDist),
+        col("_1.urlHash") === discDist("urlHash"), "left_outer")
+      .map { case ((row0, out), dd) =>
+        val row =
+          if (dd == null || dd._2 >= row0.distance) row0
+          else row0.copy(distance = dd._2)
         if (out == null) row
         else {
           val st0 = graft.core.ScheduleState(row.status, row.fetchTime,

@@ -164,9 +164,14 @@ final class Simulator(
       r.lastBatch = batchId
     }
 
-    // new rows: max contribution, min distance per url
+    // new rows: max contribution, min distance per url; existing rows
+    // take the shorter path's distance (DbUpdateReducer.java:235-250)
     discovered.groupBy(_._1).foreach { case (u, contribs) =>
-      if (!frontier.contains(u)) {
+      if (frontier.contains(u)) {
+        val dist = contribs.map(_._3).min
+        val r = frontier(u)
+        if (dist < r.distance) r.distance = dist
+      } else {
         val dist = contribs.map(_._3).min
         if (dist <= maxDepth) {
           val cfg = configs.configOrDefault(u)
