@@ -328,6 +328,136 @@ final class CrawlPipeline(
     res
   }
 
+  /** The updatedb merge as pure Catalyst column expressions — the whole
+    * frontier pass stays inside WholeStageCodegen with no object
+    * round-trip (the typed variant decodes/encodes every CrawlRow).
+    * Semantics = graft.core.Schedule.next (non-adaptive) exactly; the
+    * parity suite pins equality against the simulator which CALLS
+    * Schedule.next, so drift between the two forms fails tests.
+    */
+  private def mergeColumnar(frontier: Dataset[CrawlRow],
+      outcomes: Dataset[Outcome], discDist: Dataset[(Long, Int)],
+      nowMs: Long, sched: ScheduleConfig): Dataset[CrawlRow] = {
+    import org.apache.spark.sql.functions._
+    val dayMs = 24L * 3600 * 1000
+    val outDf = outcomes.toDF()
+      .withColumnRenamed("signature", "osig")
+      .withColumnRenamed("batchId", "obatch")
+      .withColumnRenamed("redirectTo", "oredir")
+    val j = frontier.toDF()
+      .join(broadcast(outDf), Seq("urlHash"), "left_outer")
+      .join(broadcast(discDist.toDF("urlHash", "newDist")), Seq("urlHash"),
+        "left_outer")
+    val has = col("outcome").isNotNull
+    // distance refinement applies regardless of an outcome this batch
+    val dist = when(col("newDist").isNotNull &&
+      col("newDist") < col("distance"), col("newDist"))
+      .otherwise(col("distance"))
+    val changed = col("signature").isNull || !(col("signature") === col("osig"))
+    val eff = when(col("outcome") === FetchOutcome.Success && !changed,
+      lit(FetchOutcome.NotModified)).otherwise(col("outcome"))
+    val retriesNext = col("retries") + 1
+    val retryExceeded = retriesNext > sched.retryMax
+    // Gone interval penalty: min(max, (interval * 1.5).toLong).toInt
+    val goneInterval = least(lit(sched.maxIntervalSec.toLong),
+      floor(col("fetchInterval") * 1.5)).cast("int")
+    val newStatus =
+      when(eff === FetchOutcome.Success, lit(CrawlStatus.Fetched))
+        .when(eff === FetchOutcome.NotModified, lit(CrawlStatus.NotModified))
+        .when(eff === FetchOutcome.RetryTransient,
+          when(retryExceeded, lit(CrawlStatus.Gone))
+            .otherwise(lit(CrawlStatus.Retry)))
+        .when(eff === FetchOutcome.Gone, lit(CrawlStatus.Gone))
+        .when(eff === FetchOutcome.RedirTemp, lit(CrawlStatus.RedirTemp))
+        .otherwise(lit(CrawlStatus.RedirPerm))
+    val newFetchTime =
+      when(eff === FetchOutcome.RetryTransient,
+        when(retryExceeded, lit(nowMs) + col("fetchInterval") * 1000L)
+          .otherwise(lit(nowMs + dayMs)))
+        .when(eff === FetchOutcome.Gone, lit(nowMs) + goneInterval * 1000L)
+        .otherwise(lit(nowMs) + col("fetchInterval") * 1000L)
+    val newInterval =
+      when(eff === FetchOutcome.Gone, goneInterval)
+        .otherwise(col("fetchInterval"))
+    val newRetries =
+      when(eff === FetchOutcome.RetryTransient, retriesNext)
+        .when(eff === FetchOutcome.Success ||
+          eff === FetchOutcome.NotModified, lit(0))
+        .otherwise(col("retries"))
+    val newModified =
+      when(eff === FetchOutcome.Success, lit(nowMs))
+        .otherwise(col("modifiedTime"))
+    val sigEmpty = length(col("osig")) === 0
+    j.select(
+      col("urlHash"), col("url"), col("host"), col("domain"), col("bucket"),
+      when(has, newStatus).otherwise(col("status")).as("status"),
+      col("score"),
+      when(has, newFetchTime).otherwise(col("fetchTime")).as("fetchTime"),
+      when(has, col("fetchTime")).otherwise(col("prevFetchTime"))
+        .as("prevFetchTime"),
+      when(has, newInterval).otherwise(col("fetchInterval"))
+        .as("fetchInterval"),
+      when(has, newRetries).otherwise(col("retries")).as("retries"),
+      when(has, newModified).otherwise(col("modifiedTime"))
+        .as("modifiedTime"),
+      when(has, when(sigEmpty, col("signature")).otherwise(col("osig")))
+        .otherwise(col("signature")).as("signature"),
+      when(has, col("signature")).otherwise(col("prevSignature"))
+        .as("prevSignature"),
+      dist.as("distance"),
+      when(has, col("obatch")).otherwise(col("lastBatch")).as("lastBatch"),
+      when(has && col("outcome") === FetchOutcome.RedirPerm &&
+        col("oredir") =!= "", col("oredir"))
+        .otherwise(col("reprUrl")).as("reprUrl"),
+      col("cfgId"), col("crawlType"))
+      .as[CrawlRow]
+  }
+
+  /** Typed merge (adaptive schedules; also the readable reference form). */
+  private def mergeTyped(frontier: Dataset[CrawlRow],
+      outcomes: Dataset[Outcome], discDist: Dataset[(Long, Int)],
+      now: Long, sched: ScheduleConfig): Dataset[CrawlRow] =
+    frontier
+      .joinWith(broadcast(outcomes),
+        frontier("urlHash") === outcomes("urlHash"), "left_outer")
+      .joinWith(broadcast(discDist.toDF("urlHash", "newDist")
+        .as[(Long, Int)]),
+        org.apache.spark.sql.functions.col("_1.urlHash") ===
+          org.apache.spark.sql.functions.col("urlHash"), "left_outer")
+      .map { case ((row0, out), dd) =>
+        val row =
+          if (dd == null || dd._2 >= row0.distance) row0
+          else row0.copy(distance = dd._2)
+        if (out == null) row
+        else {
+          val st0 = graft.core.ScheduleState(row.status, row.fetchTime,
+            row.prevFetchTime, row.fetchInterval, row.retries,
+            row.modifiedTime)
+          val changed = row.signature == null ||
+            !java.util.Arrays.equals(row.signature, out.signature)
+          val effOutcome =
+            if (out.outcome == FetchOutcome.Success && !changed)
+              FetchOutcome.NotModified
+            else out.outcome
+          val st1 = Schedule.next(st0, effOutcome, now, sched)
+          row.copy(
+            status = st1.status,
+            fetchTime = st1.fetchTime,
+            prevFetchTime = st1.prevFetchTime,
+            fetchInterval = st1.fetchInterval,
+            retries = st1.retries,
+            modifiedTime = st1.modifiedTime,
+            prevSignature = row.signature,
+            signature =
+              if (out.signature.isEmpty) row.signature else out.signature,
+            reprUrl =
+              if (out.outcome == FetchOutcome.RedirPerm &&
+                out.redirectTo.nonEmpty) out.redirectTo
+              else row.reprUrl,
+            lastBatch = out.batchId)
+        }
+      }
+
   // --------------------------------------------------------------- updatedb
 
   /** Merge fetch outcomes + discovered outlinks into the frontier
@@ -404,47 +534,9 @@ final class CrawlPipeline(
       .map(d => (d.urlHash, d.distance))
       .toDF("urlHash", "newDist")
       .as[(Long, Int)]
-    val merged = frontier
-      .joinWith(broadcast(outcomes),
-        frontier("urlHash") === outcomes("urlHash"), "left_outer")
-      .joinWith(broadcast(discDist),
-        col("_1.urlHash") === discDist("urlHash"), "left_outer")
-      .map { case ((row0, out), dd) =>
-        val row =
-          if (dd == null || dd._2 >= row0.distance) row0
-          else row0.copy(distance = dd._2)
-        if (out == null) row
-        else {
-          val st0 = graft.core.ScheduleState(row.status, row.fetchTime,
-            row.prevFetchTime, row.fetchInterval, row.retries,
-            row.modifiedTime)
-          val changed = row.signature == null ||
-            !java.util.Arrays.equals(row.signature, out.signature)
-          val effOutcome =
-            if (out.outcome == FetchOutcome.Success && !changed)
-              FetchOutcome.NotModified
-            else out.outcome
-          val st1 = Schedule.next(st0, effOutcome, now, sched)
-          row.copy(
-            status = st1.status,
-            fetchTime = st1.fetchTime,
-            prevFetchTime = st1.prevFetchTime,
-            fetchInterval = st1.fetchInterval,
-            retries = st1.retries,
-            modifiedTime = st1.modifiedTime,
-            prevSignature = row.signature,
-            signature =
-              if (out.signature.isEmpty) row.signature else out.signature,
-            // C3 chooseRepr: permanent redirect target becomes the
-            // representative URL (URLUtil.chooseRepr simplified: perm
-            // redirect wins; FetcherReducer.java:648-656)
-            reprUrl =
-              if (out.outcome == FetchOutcome.RedirPerm &&
-                out.redirectTo.nonEmpty) out.redirectTo
-              else row.reprUrl,
-            lastBatch = out.batchId)
-        }
-      }
+    val merged: Dataset[CrawlRow] =
+      if (sched.adaptive) mergeTyped(frontier, outcomes, discDist, now, sched)
+      else mergeColumnar(frontier, outcomes, discDist, now, sched)
 
     // new rows from discoveries. D1 URL-seen set (north rule): a bloom
     // filter over frontier keys prunes definitely-new URLs; only the
