@@ -194,6 +194,33 @@ class CrawlParitySpec extends AnyFunSuite {
     assert(simRepr.nonEmpty, "no permanent redirects exercised")
   }
 
+  test("re-crawl with adaptive schedule: refetch + NotModified parity (typed merge)") {
+    // 30-min interval with 1-h batch ticks => rows refetch in later
+    // batches; unchanged signatures drive the NotModified path and the
+    // adaptive interval growth — exercising the typed merge and the
+    // re-crawl state machine, which single-pass crawls never reach
+    val sched = graft.core.ScheduleConfig(defaultIntervalSec = 1800,
+      adaptive = true)
+    val cfg = webCfg.copy(numHosts = 4, pagesPerHost = 8)
+    val dir = Files.createTempDirectory("crawl-recrawl").toString
+    val p = new CrawlPipeline(spark, dir, cfg, numBuckets = 4,
+      scheduleCfg = sched)
+    p.runBatches(4, 40, 8)
+    val s = new Simulator(cfg, scheduleCfg = sched)
+    s.runBatches(4, 40, 8)
+    val rows = p.readFrontier(p.log.lastOf("updatedb").get.frontierPath)
+      .collect().map(r => r.url ->
+        (r.status, r.fetchTime, r.fetchInterval, r.retries)).toMap
+    assert(rows.keySet === s.seenSet)
+    s.frontier.foreach { case (url, r) =>
+      assert(rows(url) === ((r.status, r.fetchTime, r.interval, r.retries)),
+        s"mismatch for $url")
+    }
+    // the NotModified path actually fired
+    assert(s.frontier.values.exists(_.status ==
+      graft.core.CrawlStatus.NotModified))
+  }
+
   test("bloom seen-filter changes nothing but the plan") {
     val cfg = webCfg.copy(numHosts = 5, pagesPerHost = 12)
     def run(bloom: Boolean): Set[(String, Int, Long, Float)] = {
