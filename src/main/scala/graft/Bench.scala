@@ -89,7 +89,8 @@ object Bench {
     // 0.78-0.89 across identical runs); the max statistic of 3 is the
     // defensible estimator of uncontended throughput. A failed child JVM
     // is dropped, never fatal — the driver must always get a JSON line.
-    val runs = Seq(nCpus, n4Cpus, nCpus, n4Cpus, nCpus, n4Cpus).flatMap { c =>
+    val nPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "3").toInt
+    val runs = Seq.fill(nPairs)(Seq(nCpus, n4Cpus)).flatten.flatMap { c =>
       try Some(c -> scalingRun(c, warmup = false))
       catch { case e: Exception =>
         System.err.println(s"[bench] run at $c cores failed: $e"); None }
