@@ -179,6 +179,16 @@ object RelationalOps {
         round(sum(col("value")), 2).as("total"))
   }
 
+  /** Hierarchical totals via ROLLUP (beyond the reference — it has no
+    * grouping sets; standard for crawl-report dashboards). NULL rows are
+    * the subtotal markers in both engines.
+    */
+  def rollupStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2)
+        .as("revenue"))
+
   val oracles: Map[String, String] = Map(
     "q_stats_status" ->
       "SELECT o_orderstatus AS status, count(*) AS cnt FROM orders GROUP BY o_orderstatus",
@@ -220,6 +230,10 @@ object RelationalOps {
     "q_stream_window" ->
       ("SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS cnt, " +
         "round(sum(value), 2) AS total FROM events GROUP BY 1, 2"),
+    "q_rollup" ->
+      ("SELECT o_orderstatus, o_orderpriority, count(*) AS cnt, " +
+        "round(sum(o_totalprice), 2) AS revenue FROM orders " +
+        "GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"),
     "q_sessionize" ->
       ("SELECT user_id, session_id, count(*) AS n_events, round(sum(value), 2) AS total FROM (" +
         "SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC " +
@@ -240,5 +254,6 @@ object RelationalOps {
     "q_seen_anti_join" -> seenAntiJoin _,
     "q_event_histogram" -> eventHistogram _,
     "q_stream_window" -> streamWindow _,
-    "q_sessionize" -> sessionize _)
+    "q_sessionize" -> sessionize _,
+    "q_rollup" -> rollupStats _)
 }
