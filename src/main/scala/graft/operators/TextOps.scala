@@ -26,13 +26,16 @@ object TextOps {
   def tokensCol(text: Column): Column =
     filter(split(text, " "), x => x =!= lit(""))
 
-  /** Token counting (whitespace tokens + a BPE-ish subword estimate:
-    * ceil(chars/4) is the standard rough BPE token estimate).
+  /** Token counting: whitespace tokens, a BPE-ish regex tokenizer
+    * (GPT-2-style word/number/punct pieces with leading-space
+    * attachment), and the ceil(chars/4) rough estimate.
     */
   def tokenCount(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
       col("doc_id"),
       size(tokensCol(col("text"))).as("n_tokens"),
+      size(regexp_extract_all(col("text"),
+        lit(" ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"), lit(0))).as("bpe_tokens"),
       ceil(length(col("text")) / 4.0).cast("long").as("bpe_est"),
       col("n_chars"))
 
@@ -162,6 +165,7 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "q_token_count" ->
       ("SELECT doc_id, len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens, " +
+        "len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS bpe_tokens, " +
         "cast(ceil(length(text) / 4.0) AS bigint) AS bpe_est, n_chars FROM documents"),
     "q_quality_score" ->
       ("SELECT doc_id, " +
