@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked-run stdout straight through (no "[info]" prefix): the bench
+// driver parses one bare JSON line from graft.Bench's stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// duckdb JDBC driver (pre-warmed in the local coursier cache) for the JDBC
+// source/sink round-trip specs — test classpath only, not a new resolve.
+Test / unmanagedJars ++= {
+  val cache = file(sys.props("user.home")) / ".cache" / "coursier"
+  (cache ** "duckdb_jdbc-*.jar").classpath
+}
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

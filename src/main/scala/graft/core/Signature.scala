@@ -28,19 +28,27 @@ object Signature {
     md5(content, url).map(b => f"$b%02x").mkString
 
   /** Quantized term-frequency profile signature
-    * (TextProfileSignature semantics: min token length 2, lowercase,
-    * letters+digits only, quantize freq by MIN_QUANT or maxFreq/8,
-    * drop zero-quant terms, sort by (freq desc, term asc), MD5 the profile).
+    * (reference crawl/TextProfileSignature.java:68-135: lowercase
+    * letters+digits tokens of length STRICTLY > minTokenLen; quant =
+    * round(maxFreq*quantRate) floored to 2 whenever maxFreq > 1 (else 1);
+    * frequencies rounded down to the quant, sub-quant terms dropped; sorted
+    * by freq desc; profile lines "term freq" MD5-hashed). One deliberate
+    * divergence: the reference's equal-frequency tie order is HashMap
+    * iteration order (nondeterministic across JVMs); we tie-break on the
+    * term ascending so the signature is reproducible.
     */
   def textProfile(text: String, minTokenLen: Int = 2, quantRate: Float = 0.01f)
       : Array[Byte] = {
     val tokens = text.toLowerCase
       .map(c => if (c.isLetterOrDigit) c else ' ')
       .split("\\s+")
-      .filter(_.length >= minTokenLen)
+      .filter(_.length > minTokenLen)
     val freq = tokens.groupBy(identity).view.mapValues(_.length).toMap
     val maxFreq = if (freq.isEmpty) 0 else freq.values.max
-    val quant = math.max(1, math.round(maxFreq * quantRate))
+    val quant = math.round(maxFreq * quantRate) match {
+      case q if q >= 2 => q
+      case _ => if (maxFreq > 1) 2 else 1
+    }
     val profile = freq.iterator
       .map { case (t, f) => (t, (f / quant) * quant) }
       .filter(_._2 > 0)

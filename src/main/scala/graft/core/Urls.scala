@@ -106,6 +106,17 @@ object Urls {
     else canonicalUrl.substring(afterScheme, end)
   }
 
+  /** Path (+query) of a canonical URL: everything from the first '/' after
+    * the authority; "/" when absent. The one safe way to derive the robots
+    * match path — chopping at indexOf(host)+host.length leaves a leading
+    * ":port" on non-default-port URLs and silently disables robots rules.
+    */
+  def pathOf(canonicalUrl: String): String = {
+    val afterScheme = canonicalUrl.indexOf("://") + 3
+    val slash = canonicalUrl.indexOf('/', afterScheme)
+    if (slash == -1) "/" else canonicalUrl.substring(slash)
+  }
+
   /** Registered domain: last two host labels, public-suffix-aware for a
     * small built-in set of 2-level suffixes (reference:
     * util/URLUtil.java getDomainName + conf/domain-suffixes.xml).

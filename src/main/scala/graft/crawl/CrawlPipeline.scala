@@ -243,7 +243,7 @@ final class CrawlPipeline(
         sorted.iterator.map { r =>
           val lane = laneAvail.zipWithIndex.minBy { case (t, i) => (t, i) }._2
           val start = laneAvail(lane)
-          val path = r.url.drop(r.url.indexOf(host) + host.length)
+          val path = Urls.pathOf(r.url)
           if (disallows.exists(path.startsWith)) {
             // robots-denied: no request is made — no politeness cost
             FetchResult(r.urlHash, r.url, host, FetchOutcome.Gone,

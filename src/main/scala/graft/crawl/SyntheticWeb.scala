@@ -67,7 +67,7 @@ object SyntheticWeb {
 
   def robotsAllowed(url: String): Boolean = {
     val host = graft.core.Urls.host(url)
-    val path = url.drop(url.indexOf(host) + host.length)
+    val path = graft.core.Urls.pathOf(url)
     !robotsDisallows(host).exists(path.startsWith)
   }
 

@@ -234,10 +234,12 @@ object RelationalOps {
       ("SELECT o_orderstatus, o_orderpriority, count(*) AS cnt, " +
         "round(sum(o_totalprice), 2) AS revenue FROM orders " +
         "GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"),
+    // DuckDB's windowed SUM over INTEGER yields HUGEINT (int128); Spark
+    // emits BIGINT — the driver's value hash is typed, so CAST to int64.
     "q_sessionize" ->
       ("SELECT user_id, session_id, count(*) AS n_events, round(sum(value), 2) AS total FROM (" +
-        "SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM (" +
+        "SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM (" +
         "SELECT *, CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800.0 THEN 1 ELSE 0 END AS new_sess FROM (" +
         "SELECT event_id, ts, user_id, value, lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts " +
         "FROM events))) GROUP BY user_id, session_id"))

@@ -120,6 +120,16 @@ class UrlsSpec extends AnyFunSuite {
     assert(Urls.domain("foo.com") === "foo.com")
   }
 
+  test("pathOf starts at the first '/' after the authority (ports, query)") {
+    assert(Urls.pathOf("http://h.example/private/p.html") === "/private/p.html")
+    // the robots-path regression: a non-default port must not leak into
+    // the path (":8080/private/..." never prefix-matches "/private/")
+    assert(Urls.pathOf("http://h.example:8080/private/p.html") ===
+      "/private/p.html")
+    assert(Urls.pathOf("http://h.example") === "/")
+    assert(Urls.pathOf("http://h.example/a?b=/c") === "/a?b=/c")
+  }
+
   test("resolveOutlink resolves relative links against the page URL") {
     assert(Urls.resolveOutlink("http://a.com/d/p.html", "q.html") ===
       Some("http://a.com/d/q.html"))

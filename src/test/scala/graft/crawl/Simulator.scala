@@ -97,7 +97,7 @@ final class Simulator(
       sorted.foreach { r =>
         val lane = lanes.zipWithIndex.minBy { case (t, i) => (t, i) }._2
         val start = lanes(lane)
-        val path = r.url.drop(r.url.indexOf(host) + host.length)
+        val path = Urls.pathOf(r.url)
         if (disallows.exists(path.startsWith)) {
           batchFetches += ((batchId, r.url, start))
           outcomes += ((r, FetchOutcome.Gone, None))
