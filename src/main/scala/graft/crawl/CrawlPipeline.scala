@@ -8,24 +8,28 @@ import org.apache.spark.sql.functions._
 import graft.core.{CrawlStatus, FetchOutcome, Schedule, ScheduleConfig, Urls, XxHash64}
 
 /** Pluggable fetcher (reference extension point `Protocol`,
-  * plugin/ExtensionPoint.java; SURVEY.md §2.10). The synthetic
-  * implementation is the deterministic fake web.
+  * plugin/ExtensionPoint.java; SURVEY.md §2.10). Returns the PROTOCOL
+  * response — raw bytes + headers; deriving outlinks/text from them is the
+  * parse stage's job, exactly the reference's Protocol/Parser split. The
+  * synthetic implementation is the deterministic fake web.
   */
 trait Fetcher extends Serializable {
-  def fetch(url: String): WebContent
+  def fetch(url: String): RawResponse
   def delayMs(url: String): Long
 }
 
 final class SyntheticFetcher(cfg: WebConfig) extends Fetcher {
-  def fetch(url: String): WebContent = SyntheticWeb.content(url, cfg)
+  def fetch(url: String): RawResponse = SyntheticWeb.raw(url, cfg)
   def delayMs(url: String): Long = SyntheticWeb.delayMs(url, cfg)
 }
 
-/** The crawl loop — generate / fetch(+inline parse) / updatedb over a
+/** The crawl loop — generate / fetch / parse / updatedb over a
   * bucket-partitioned parquet frontier with an atomic commit log
   * (SURVEY.md §3: reference lifecycle `Crawler.run` ->
-  * GeneratorJob -> FetcherJob -> DbUpdaterJob, re-expressed as typed
-  * Dataset transformations; reference: crawl/Crawler.java:168-224).
+  * GeneratorJob -> FetcherJob -> ParserJob -> DbUpdaterJob, re-expressed
+  * as typed Dataset transformations; reference: crawl/Crawler.java:168-224).
+  * Fetch returns raw content bytes (WebPage.content); parse derives
+  * outlinks/text/signature from them; payload decodes image bytes.
   *
   * Scale design (10^10-URL frontier):
   *  - frontier partitioned by `bucket` = salted host hash — host-local
@@ -35,6 +39,7 @@ final class SyntheticFetcher(cfg: WebConfig) extends Fetcher {
   *  - fetch: one repartition by (bucket ^ batch salt); per-host politeness
   *    is a sequential fold inside `flatMapGroups` (Catalyst-planned
   *    MapGroups — the reference's FetchItemQueues without threads);
+  *  - parse: narrow map over the batch staging table, no shuffle;
   *  - updatedb: discovered side is pre-aggregated per URL before the
   *    frontier cogroup, capping the shuffle at |distinct urls|; the
   *    frontier side shuffles once on urlHash (with Iceberg
@@ -247,37 +252,32 @@ final class CrawlPipeline(
           if (disallows.exists(path.startsWith)) {
             // robots-denied: no request is made — no politeness cost
             FetchResult(r.urlHash, r.url, host, FetchOutcome.Gone,
-              "robots/denied", null, Map.empty,
-              null, r.score, r.distance, start, start, batchId)
+              "robots/denied", null, null, 0L, Map.empty, r.anchor,
+              r.score, r.distance, start, start, batchId)
           } else {
             val delay = f.delayMs(r.url)
             val end = start + delay
             laneAvail(lane) = end + crawlDelay
             f.fetch(r.url) match {
-              case HtmlPage(outlinks) =>
-                val sig = graft.core.Signature.md5(
-                  outlinks.keys.toSeq.sorted.mkString("|").getBytes, r.url)
+              case RawPage(ct, headers, bytes, declaredLen) =>
                 FetchResult(r.urlHash, r.url, host, FetchOutcome.Success,
-                  "text/html", null, outlinks, sig, r.score, r.distance,
-                  start, end, batchId)
-              case img: ImageFile =>
-                val sig = graft.core.Signature.md5(img.bytes, r.url)
-                FetchResult(r.urlHash, r.url, host, FetchOutcome.Success,
-                  s"image/${img.fmt}", null, Map.empty, sig, r.score,
-                  r.distance, start, end, batchId)
-              case Redirect(to, perm) =>
+                  ct, null, bytes, declaredLen, headers, r.anchor,
+                  r.score, r.distance, start, end, batchId)
+              case RawRedirect(to, perm) =>
                 val oc = if (perm) FetchOutcome.RedirPerm
                   else FetchOutcome.RedirTemp
                 FetchResult(r.urlHash, r.url, host, oc, "text/html", to,
-                  Map.empty, null, r.score, r.distance, start, end, batchId)
-              case NotFound =>
-                FetchResult(r.urlHash, r.url, host, FetchOutcome.Gone,
-                  "text/html", null, Map.empty, null, r.score, r.distance,
+                  null, 0L, Map.empty, r.anchor, r.score, r.distance,
                   start, end, batchId)
-              case ServerError =>
+              case RawNotFound =>
+                FetchResult(r.urlHash, r.url, host, FetchOutcome.Gone,
+                  "text/html", null, null, 0L, Map.empty, r.anchor,
+                  r.score, r.distance, start, end, batchId)
+              case RawServerError =>
                 FetchResult(r.urlHash, r.url, host,
-                  FetchOutcome.RetryTransient, "text/html", null, Map.empty,
-                  null, r.score, r.distance, start, end, batchId)
+                  FetchOutcome.RetryTransient, "text/html", null, null, 0L,
+                  Map.empty, r.anchor, r.score, r.distance,
+                  start, end, batchId)
             }
           }
         }
@@ -301,24 +301,61 @@ final class CrawlPipeline(
     out
   }
 
-  /** Decode+validate image payloads from fetched rows (C11 — reference
-    * ImageParser truncation check generalized to full decode+phash; per
-    * input_hint the payload table is (image_id, bytes, w, h, fmt, caption,
-    * phash)).
+  // ----------------------------------------------------------------- parse
+
+  /** The parse stage (reference: parse/ParserJob.java over the batch's
+    * WebPageIndex rows; ParseUtil.java:244-367): content bytes ->
+    * outlinks + text + signature. One narrow map over the fetched batch —
+    * no shuffle; row-level logic is the pure `Parse.page` shared with the
+    * simulator oracle. Non-success rows pass through so updatedb consumes
+    * parse output alone (outcome + redirect + signature in one table).
+    */
+  def parse(fetched: Dataset[FetchResult], batchId: String, now: Long)
+      : Dataset[ParsedPage] = {
+    val out = fetched.map { r =>
+      val po =
+        if (r.outcome == FetchOutcome.Success)
+          Parse.page(r.url, r.contentType, r.headers, r.content,
+            r.contentLength)
+        else Parse.ParseOut(Map.empty, "", Parse.StatusNotParsed)
+      val sig =
+        if (r.outcome == FetchOutcome.Success)
+          graft.core.Signature.md5(r.content, r.url)
+        else null
+      ParsedPage(r.urlHash, r.url, r.host, r.outcome, r.contentType,
+        r.redirectTo, po.outlinks, po.text, sig, po.status, r.anchor,
+        r.srcScore, r.srcDistance, r.fetchStart, r.fetchEnd, r.batchId)
+    }
+    val path = s"$root/batches/$batchId/parsed"
+    val t0 = System.nanoTime()
+    out.write.mode(SaveMode.Overwrite).parquet(path)
+    val parseWallMs = (System.nanoTime() - t0) / 1e6
+    val res = spark.read.parquet(path).as[ParsedPage]
+    commitStage(log.nextSeq(), batchId, "parse", path,
+      Map("all" -> res.count()), now, Map("parseWallMs" -> parseWallMs))
+    res
+  }
+
+  /** Decode+validate image payloads from fetched CONTENT bytes (C11 —
+    * reference ImageParser: length-vs-Content-Length truncation check,
+    * nutch-parse-image-plugin/.../ImageParser.java:41-79 — generalized to
+    * full decode + phash; per input_hint the payload table is (image_id,
+    * bytes, w, h, fmt, caption, phash)). The caption is the inlink's
+    * alt/anchor text carried on the frontier row — nothing here re-touches
+    * the fake web: bytes, dimensions, and phash all come from the fetch
+    * output, as they must in a real crawl.
     */
   def payloads(fetched: Dataset[FetchResult], batchId: String)
       : Dataset[PayloadRow] = {
-    val cfg = webCfg
     val out = fetched
-      .filter(r => r.contentType != null && r.contentType.startsWith("image/"))
+      .filter(r => r.outcome == FetchOutcome.Success &&
+        r.contentType != null && r.contentType.startsWith("image/") &&
+        r.content != null && r.content.length == r.contentLength) // C11 gate
       .map { r =>
-        SyntheticWeb.content(r.url, cfg) match {
-          case img: ImageFile =>
-            PayloadRow(r.url, img.bytes, img.w, img.h, img.fmt, img.caption,
-              img.phash, r.urlHash, batchId)
-          case other =>
-            throw new IllegalStateException(s"${r.url}: not an image: $other")
-        }
+        val (px, w, h) = ImageCodec.decodePixels(r.content)
+        PayloadRow(r.url, r.content, w, h,
+          r.contentType.stripPrefix("image/"), r.anchor,
+          ImageCodec.phash(px, w, h), r.urlHash, batchId)
       }
     val path = s"$root/batches/$batchId/payload"
     out.write.mode(SaveMode.Overwrite).parquet(path)
@@ -409,7 +446,7 @@ final class CrawlPipeline(
       when(has && col("outcome") === FetchOutcome.RedirPerm &&
         col("oredir") =!= "", col("oredir"))
         .otherwise(col("reprUrl")).as("reprUrl"),
-      col("cfgId"), col("crawlType"))
+      col("anchor"), col("cfgId"), col("crawlType"))
       .as[CrawlRow]
   }
 
@@ -469,7 +506,7 @@ final class CrawlPipeline(
     * analog of the reducer's sorted-inlink fold, capped semantics of
     * db.update.max.inlinks), then cogrouped with the frontier on urlHash.
     */
-  def updatedb(frontier: Dataset[CrawlRow], fetched: Dataset[FetchResult],
+  def updatedb(frontier: Dataset[CrawlRow], parsed: Dataset[ParsedPage],
       batchId: String, now: Long): Dataset[CrawlRow] = {
     val nb = numBuckets
     val sched = scheduleCfg
@@ -478,11 +515,11 @@ final class CrawlPipeline(
     val trie = trieBc
 
     // T7: redirects feed the discovery stream like outlinks
-    val discovered: Dataset[Discovered] = fetched.flatMap { r =>
-      val outs = r.outlinks.iterator.map(_._1) ++
-        Option(r.redirectTo).iterator
+    val discovered: Dataset[Discovered] = parsed.flatMap { r =>
+      val outs = r.outlinks.iterator ++
+        Option(r.redirectTo).iterator.map(to => (to, ""))
       val n = math.max(1, r.outlinks.size + Option(r.redirectTo).size)
-      outs.flatMap { raw =>
+      outs.flatMap { case (raw, anchor) =>
         // F6: per-site rewrite applied between canonicalize passes — the
         // rewritten URL is what enters the frontier (the reference's
         // delete-old-key + emit-new collapses to this at steady state)
@@ -495,14 +532,15 @@ final class CrawlPipeline(
             Discovered(XxHash64.hashUtf8(u, 42L), u, host,
               Urls.domain(host), Keys.bucketOf(host, nb),
               contrib = r.srcScore / n, inlinks = 1,
-              distance = r.srcDistance + 1)
+              distance = r.srcDistance + 1, anchor = anchor)
           }
       }
     }
 
     // per-destination aggregation (J1 analog of the reducer's sorted
-    // inlink fold): min distance, max score contribution (both
-    // order-independent => deterministic under any shuffle order).
+    // inlink fold): min distance, max score contribution, min anchor as
+    // the representative inlink anchor (all order-independent =>
+    // deterministic under any shuffle order).
     // Columnar agg, not mapGroups: codegen'd hash aggregate WITH map-side
     // partial aggregation — the outlink explosion is the largest data
     // volume in the pipeline, and partial agg collapses it before the
@@ -515,14 +553,15 @@ final class CrawlPipeline(
         first(col("bucket")).as("bucket"),
         max(col("contrib")).as("contrib"),
         count(lit(1)).cast("int").as("inlinks"),
-        min(col("distance")).as("distance"))
+        min(col("distance")).as("distance"),
+        min(col("anchor")).as("anchor"))
       .as[Discovered]
 
     // The batch side is bounded by topN (generate's contract), so the
     // merge is a BROADCAST join against the frontier scan — the 10^10-row
     // frontier is never shuffled for the merge (reference needed a full
     // partition/sort/group pass per updatedb, UrlWithScore.java:124-195).
-    val outcomes = fetched.map(r => Outcome(r.urlHash, r.outcome,
+    val outcomes = parsed.map(r => Outcome(r.urlHash, r.outcome,
       Option(r.signature).getOrElse(Array.emptyByteArray), r.batchId,
       Option(r.redirectTo).getOrElse("")))
 
@@ -577,7 +616,8 @@ final class CrawlPipeline(
           distance = d.distance,
           intervalSec =
             if (cfg.customIntervalSec > 0) cfg.customIntervalSec
-            else sched.defaultIntervalSec)
+            else sched.defaultIntervalSec,
+          anchor = d.anchor)
       }
 
     // distance refinement for existing rows: min(existing, discovered+src)
@@ -629,8 +669,13 @@ final class CrawlPipeline(
               spark.read.parquet(s"$root/batches/$batchId/fetched")
                 .as[FetchResult]
             else fetch(list, batchId, now)
+          val parsedRows =
+            if (committed((batchId, "parse")))
+              spark.read.parquet(s"$root/batches/$batchId/parsed")
+                .as[ParsedPage]
+            else parse(fetched, batchId, now)
           if (!committed((batchId, "payload"))) payloads(fetched, batchId)
-          frontier = updatedb(frontier, fetched, batchId, now)
+          frontier = updatedb(frontier, parsedRows, batchId, now)
         }
       }
     }

@@ -64,14 +64,18 @@ object IndexSink {
     count.value
   }
 
-  /** Index a crawl batch's fetched+payload rows from the table layout. */
+  /** Index a crawl batch's PARSED rows from the table layout — indexing
+    * follows parse in the reference lifecycle (SegParserReducer writes to
+    * Solr after parse), so the doc carries parse-derived text + signature.
+    */
   def indexBatch(spark: SparkSession, root: String, batchId: String,
       outDir: String): Long = {
-    val fetched = spark.read.parquet(s"$root/batches/$batchId/fetched")
+    val parsed = spark.read.parquet(s"$root/batches/$batchId/parsed")
       .filter(col("signature").isNotNull)
       .select(col("urlHash"), col("url"), col("host"), col("contentType"),
-        hex(col("signature")).as("sig"), col("fetchEnd"), col("batchId"))
-    index(fetched, "urlHash", "sig", "fetchEnd",
+        col("text"), hex(col("signature")).as("sig"), col("fetchEnd"),
+        col("batchId"))
+    index(parsed, "urlHash", "sig", "fetchEnd",
       () => new JsonlIndexWriter(outDir))
   }
 }

@@ -1,0 +1,170 @@
+package graft.crawl
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.charset.{Charset, StandardCharsets}
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+import graft.core.Urls
+
+/** The parse stage's pure row-level logic (no Spark): content bytes ->
+  * outlinks + text + parse status.
+  *
+  * Re-expresses the reference's parse path (reference:
+  * parse/ParseUtil.java:244-367 parse + outlink extraction + relative
+  * resolution; parse/ParserJob.java isTruncated truncation check;
+  * util/GZIPUtils.java gzip decode; util/EncodingDetector.java charset from
+  * header/meta; html/Entities.java entity decode). The reference walks a
+  * NekoHTML DOM (parse/html/, util/NodeWalker.java); over the synthetic
+  * corpus a tag scanner yields identical link sets, so the DOM dependency
+  * is dropped — the extraction contract (a[href] anchors + img[src] alt,
+  * entity-decoded, base-resolved) is what's re-expressed.
+  *
+  * Shared verbatim by the Spark pipeline and the single-threaded simulator
+  * oracle, like Schedule.next: parity tests pin the crawl semantics around
+  * it, unit tests (ParseSpec) pin these functions themselves.
+  */
+object Parse {
+
+  /** parseStatus codes (reference ParseStatus majorCodes analog). */
+  val StatusOk = 0
+  val StatusTruncated = 1 // wire bytes shorter than declared Content-Length
+  val StatusNotParsed = 2 // non-HTML content (images: payload path instead)
+  val StatusFailed = 3 // undecodable content (bad gzip stream etc.)
+
+  final case class ParseOut(outlinks: Map[String, String], text: String,
+      status: Int)
+
+  // ------------------------------------------------------------ gzip (C8)
+
+  def gzip(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(bytes.length / 2 + 64)
+    val gz = new GZIPOutputStream(bos)
+    gz.write(bytes)
+    gz.close()
+    bos.toByteArray
+  }
+
+  def gunzip(bytes: Array[Byte]): Array[Byte] = {
+    val in = new GZIPInputStream(new ByteArrayInputStream(bytes))
+    val bos = new ByteArrayOutputStream(bytes.length * 3 + 64)
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
+    bos.toByteArray
+  }
+
+  // ------------------------------------------- charset detection (C8)
+
+  private val HeaderCharsetRe = "(?i)charset=([\\w-]+)".r
+  private val MetaCharsetRe =
+    "(?i)<meta[^>]*charset=[\"']?([\\w-]+)".r
+
+  /** Charset resolution order (EncodingDetector semantics): Content-Type
+    * header parameter, then a `<meta charset=...>` sniff of the first 1024
+    * bytes (ASCII-superset safe), else UTF-8.
+    */
+  def detectCharset(contentType: String, bytes: Array[Byte]): Charset = {
+    val fromHeader = Option(contentType)
+      .flatMap(ct => HeaderCharsetRe.findFirstMatchIn(ct))
+      .map(_.group(1))
+    val name = fromHeader.orElse {
+      val head = new String(bytes, 0, math.min(1024, bytes.length),
+        StandardCharsets.ISO_8859_1)
+      MetaCharsetRe.findFirstMatchIn(head).map(_.group(1))
+    }
+    name.flatMap { n =>
+      try Some(Charset.forName(n)) catch { case _: Exception => None }
+    }.getOrElse(StandardCharsets.UTF_8)
+  }
+
+  // --------------------------------------------- entity decode (C8)
+
+  private val NamedEntities = Map(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",
+    "nbsp" -> " ")
+  private val EntityRe = "&(#x?[0-9a-fA-F]+|[a-zA-Z]+);".r
+
+  /** Decode named + numeric (&#NNN; / &#xHH;) character references
+    * (reference html/Entities.java).
+    */
+  def decodeEntities(s: String): String =
+    EntityRe.replaceAllIn(s, m => {
+      val body = m.group(1)
+      val out =
+        if (body.startsWith("#x") || body.startsWith("#X"))
+          Character.toString(Integer.parseInt(body.drop(2), 16))
+        else if (body.startsWith("#"))
+          Character.toString(Integer.parseInt(body.drop(1)))
+        else NamedEntities.getOrElse(body, m.matched)
+      scala.util.matching.Regex.quoteReplacement(out)
+    })
+
+  def encodeEntities(s: String): String =
+    s.flatMap {
+      case '&' => "&amp;"
+      case '<' => "&lt;"
+      case '>' => "&gt;"
+      case '"' => "&quot;"
+      case c => c.toString
+    }
+
+  // ----------------------------------------- link extraction (C7-lite)
+
+  private val ARe =
+    "(?is)<a\\s[^>]*href=\"([^\"]*)\"[^>]*>(.*?)</a>".r
+  private val ImgRe =
+    "(?is)<img\\s[^>]*src=\"([^\"]*)\"[^>]*alt=\"([^\"]*)\"[^>]*>".r
+  private val TagRe = "(?s)<[^>]*>".r
+
+  /** Outlinks of an HTML document: a[href] with anchor text plus img[src]
+    * with alt text (the image-caption channel — a payload's caption is its
+    * inlink's alt, the reference's inlinks anchor map). Hrefs are
+    * entity-decoded and resolved against the page URL; per-page dedup (D2,
+    * reference ParseUtil.java:362-367) keeps the FIRST anchor per target.
+    */
+  def extractLinks(html: String, baseUrl: String): Seq[(String, String)] = {
+    val found =
+      ARe.findAllMatchIn(html).map(m => (m.group(1), stripTags(m.group(2)))) ++
+        ImgRe.findAllMatchIn(html).map(m => (m.group(1), m.group(2)))
+    val seen = scala.collection.mutable.LinkedHashMap[String, String]()
+    found.foreach { case (rawHref, rawAnchor) =>
+      Urls.resolveOutlink(baseUrl, decodeEntities(rawHref)).foreach { u =>
+        if (!seen.contains(u)) seen(u) = decodeEntities(rawAnchor).trim
+      }
+    }
+    seen.toSeq
+  }
+
+  private def stripTags(html: String): String =
+    TagRe.replaceAllIn(html, " ")
+
+  /** Visible text: tags stripped, entities decoded, whitespace collapsed. */
+  def extractText(html: String): String =
+    decodeEntities(stripTags(html)).split("\\s+").filter(_.nonEmpty)
+      .mkString(" ")
+
+  // ------------------------------------------------- the parse function
+
+  /** Parse one fetched page. `bytes` are the raw wire bytes (possibly
+    * gzip-encoded per the Content-Encoding header); `declaredLength` is the
+    * Content-Length header value for the truncation check
+    * (reference ParserJob isTruncated; parser.skip.truncated=true —
+    * truncated pages are not parsed, so they contribute no outlinks).
+    */
+  def page(url: String, contentType: String, headers: Map[String, String],
+      bytes: Array[Byte], declaredLength: Long): ParseOut = {
+    if (bytes == null) return ParseOut(Map.empty, "", StatusFailed)
+    if (declaredLength >= 0 && bytes.length < declaredLength)
+      return ParseOut(Map.empty, "", StatusTruncated)
+    if (contentType == null || !contentType.startsWith("text/html"))
+      return ParseOut(Map.empty, "", StatusNotParsed)
+    val decoded =
+      if (headers.get("content-encoding").contains("gzip"))
+        try gunzip(bytes)
+        catch { case _: Exception =>
+          return ParseOut(Map.empty, "", StatusFailed) }
+      else bytes
+    val html = new String(decoded, detectCharset(contentType, decoded))
+    ParseOut(extractLinks(html, url).toMap, extractText(html), StatusOk)
+  }
+}

@@ -1,6 +1,8 @@
 package graft.crawl
 
-import graft.core.{FetchOutcome, XxHash64}
+import java.nio.charset.{Charset, StandardCharsets}
+
+import graft.core.{FetchOutcome, Urls, XxHash64}
 
 /** Deterministic fake web — the test/bench substrate, modeled on the
   * reference's benchmark testbed (reference: tools/proxy/FakeHandler.java:46-140
@@ -8,10 +10,19 @@ import graft.core.{FetchOutcome, XxHash64}
   * — seeded response delays; tools/Benchmark.java:47-60 — seeds
   * `http://www.test-<i>.com/`).
   *
-  * Every property of every URL (status, delay, outlinks, image bytes,
-  * caption) is a pure function of the URL string, so any executor — and the
-  * single-threaded simulator oracle — sees the identical web with no shared
-  * state. No wall clock, no RNG state.
+  * Every property of every URL (status, delay, headers, bytes) is a pure
+  * function of the URL string, so any executor — and the single-threaded
+  * simulator oracle — sees the identical web with no shared state. No wall
+  * clock, no RNG state.
+  *
+  * Two layers:
+  *  - `content(url)`: the SEMANTIC page (outlink map / image / redirect /
+  *    error) — what the site "means";
+  *  - `raw(url)`: the PROTOCOL response — real HTML bytes rendered from the
+  *    semantic page (relative + absolute hrefs, entity-encoded, img alt
+  *    captions), deterministically varied across gzip Content-Encoding,
+  *    header-vs-meta charset declarations (UTF-8 / ISO-8859-1), and
+  *    truncated transfers — so the parse stage has real work to undo.
   */
 final case class WebConfig(
     numHosts: Int = 20,
@@ -32,6 +43,18 @@ case object NotFound extends WebContent
 final case class Redirect(to: String, permanent: Boolean) extends WebContent
 case object ServerError extends WebContent // transient -> retry
 
+/** Protocol-level response (what a Fetcher returns): raw wire bytes +
+  * headers. `contentLength` is the DECLARED length — `bytes` may be
+  * shorter on a truncated transfer (reference ParserJob isTruncated).
+  */
+sealed trait RawResponse
+final case class RawPage(contentType: String, headers: Map[String, String],
+    bytes: Array[Byte], contentLength: Long) extends RawResponse
+final case class RawRedirect(to: String, permanent: Boolean)
+    extends RawResponse
+case object RawNotFound extends RawResponse
+case object RawServerError extends RawResponse
+
 object SyntheticWeb {
 
   def hostName(i: Int): String = s"www.test-$i.example"
@@ -42,6 +65,8 @@ object SyntheticWeb {
     s"http://${hostName(host)}/img${page}_$k.$fmt"
   def privateUrl(host: Int, page: Int): String =
     s"http://${hostName(host)}/private/page$page.html"
+  def searchUrl(host: Int, q: Int): String =
+    s"http://${hostName(host)}/search?q=$q&lang=en"
 
   def seeds(cfg: WebConfig): Seq[String] =
     (0 until cfg.numHosts).map(seedUrl)
@@ -50,8 +75,12 @@ object SyntheticWeb {
   private val PageRe = """/page(\d+)\.html""".r
   private val PrivateRe = """/private/page(\d+)\.html""".r
   private val ImgRe = """/img(\d+)_(\d+)\.(png|jpeg)""".r
+  private val SearchRe = """/search\?q=(\d+)&lang=en""".r
 
   private def h64(url: String): Long = XxHash64.hashUtf8(url, 1234567890L)
+
+  private def isImageUrl(url: String): Boolean =
+    url.endsWith(".png") || url.endsWith(".jpeg")
 
   /** Per-host robots: every k-th host disallows /private/. Deterministic
     * robots "file" — the fetcher consults this through its robots cache.
@@ -86,7 +115,7 @@ object SyntheticWeb {
     (w, ht, fmt, caption, h)
   }
 
-  /** The whole web, as one pure function. */
+  /** The whole web, as one pure function (the semantic layer). */
   def content(url: String, cfg: WebConfig): WebContent = url match {
     case HostRe(hostIdxS, path) =>
       val hostIdx = hostIdxS.toInt
@@ -101,6 +130,13 @@ object SyntheticWeb {
           val page = pageS.toInt
           if (page >= cfg.pagesPerHost) NotFound
           else HtmlPage(Map(pageUrl(hostIdx, page) -> "back"))
+        case SearchRe(qS) =>
+          // query-string URL space: a couple of result links per query
+          val q = qS.toInt
+          val h = h64(url)
+          HtmlPage(Map(
+            pageUrl(hostIdx, math.floorMod(q * 7L + 3 + h, cfg.pagesPerHost.toLong).toInt) -> "result",
+            pageUrl(hostIdx, math.floorMod(q * 11L + 5, cfg.pagesPerHost.toLong).toInt) -> "more"))
         case ImgRe(_, _, _) => imageContent(url, cfg)
         case _ => NotFound
       }
@@ -132,7 +168,9 @@ object SyntheticWeb {
   }
 
   /** Outlink pool (FakeHandler UNIQUE-mode analog): same-host pages, one
-    * cross-host page, image links, occasionally a /private/ page.
+    * cross-host page, image links (anchor = the image's caption, rendered
+    * as the img alt text), occasionally a /private/ page or a
+    * query-string search link.
     */
   private def outlinksOf(hostIdx: Int, page: Int, h: Long, cfg: WebConfig)
       : Map[String, String] = {
@@ -149,13 +187,94 @@ object SyntheticWeb {
     links(pageUrl(crossHost, crossPage)) = "cross"
     if (math.floorMod(h, 11L) == 0)
       links(privateUrl(hostIdx, page)) = "private"
+    if (math.floorMod(h, 13L) == 0)
+      links(searchUrl(hostIdx, math.floorMod(h >>> 5, 3L).toInt)) =
+        "search & find" // exercises entity encode/decode on href + anchor
     var k = 0
     while (k < cfg.imagesPerPage) {
       val fmt = if (((h >>> (8 + k)) & 1L) == 1L) "png" else "jpeg"
-      links(imageUrl(hostIdx, page, k, fmt)) = s"img$k"
+      val img = imageUrl(hostIdx, page, k, fmt)
+      links(img) = imageSpec(img, cfg)._4 // alt = caption
       k += 1
     }
     links.toMap
+  }
+
+  // ------------------------------------------------ protocol layer (raw)
+
+  private val vocab = Array("crawl", "fetch", "merge", "frontier", "batch",
+    "score", "host", "link", "page", "index", "image", "data")
+
+  /** Deterministic body text; ISO pages carry accented chars so a wrong
+    * charset decode is visible in text/signature comparisons.
+    */
+  private def pageText(url: String, iso: Boolean): String = {
+    val h = h64(url)
+    val n = 8 + math.floorMod(h >>> 3, 9L).toInt
+    val words = (0 until n).map(i =>
+      vocab(math.floorMod(h >>> (i % 48), vocab.length.toLong).toInt))
+    words.mkString(" ") + (if (iso) " café résumé" else "")
+  }
+
+  /** Render the semantic page to real HTML wire bytes. Variants (all pure
+    * functions of the URL): gzip Content-Encoding on every ~3rd page;
+    * charset declared via header on ~1/5, via meta tag (ISO-8859-1) on
+    * ~1/5; ~1/23 transfers truncated to half the declared Content-Length.
+    * Same-host hrefs render relative on half the links; hrefs and anchors
+    * are entity-encoded.
+    */
+  private def renderPage(url: String, outlinks: Map[String, String])
+      : RawPage = {
+    val h = h64(url)
+    val iso = math.floorMod(h, 5L) == 0
+    val headerCharset = math.floorMod(h, 5L) == 1
+    val charset =
+      if (iso) StandardCharsets.ISO_8859_1 else StandardCharsets.UTF_8
+    val host = Urls.host(url)
+    val sb = new StringBuilder(1024)
+    sb.append("<html><head>")
+    if (iso) sb.append("<meta charset=\"ISO-8859-1\">")
+    sb.append("<title>").append(Parse.encodeEntities(s"Page ${Urls.pathOf(url)}"))
+      .append("</title></head><body><p>")
+      .append(Parse.encodeEntities(pageText(url, iso)))
+      .append("</p>\n")
+    outlinks.foreach { case (dst, anchor) =>
+      val relative = Urls.host(dst) == host && ((h ^ h64(dst)) & 1L) == 0L
+      val href =
+        Parse.encodeEntities(if (relative) Urls.pathOf(dst) else dst)
+      if (isImageUrl(dst))
+        sb.append("<img src=\"").append(href).append("\" alt=\"")
+          .append(Parse.encodeEntities(anchor)).append("\"/>\n")
+      else
+        sb.append("<a href=\"").append(href).append("\">")
+          .append(Parse.encodeEntities(anchor)).append("</a>\n")
+    }
+    sb.append("</body></html>")
+    val full = sb.toString.getBytes(charset)
+    val gz = math.floorMod(h, 3L) == 0
+    val wireFull = if (gz) Parse.gzip(full) else full
+    val declared = wireFull.length.toLong
+    val truncated = math.floorMod(h, 23L) == 7
+    val wire = if (truncated) wireFull.take(wireFull.length / 2) else wireFull
+    val ct = if (headerCharset) "text/html; charset=utf-8" else "text/html"
+    val headers = Map(
+      "content-type" -> ct,
+      "content-length" -> declared.toString) ++
+      (if (gz) Map("content-encoding" -> "gzip") else Map.empty)
+    RawPage(ct, headers, wire, declared)
+  }
+
+  /** The protocol response for a URL — what a Fetcher returns. */
+  def raw(url: String, cfg: WebConfig): RawResponse = content(url, cfg) match {
+    case HtmlPage(outlinks) => renderPage(url, outlinks)
+    case img: ImageFile =>
+      RawPage(s"image/${img.fmt}",
+        Map("content-type" -> s"image/${img.fmt}",
+          "content-length" -> img.bytes.length.toString),
+        img.bytes, img.bytes.length.toLong)
+    case Redirect(to, perm) => RawRedirect(to, perm)
+    case NotFound => RawNotFound
+    case ServerError => RawServerError
   }
 
   /** Map content to a fetch outcome code (FetcherReducer status dispatch). */

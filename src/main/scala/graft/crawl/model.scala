@@ -5,7 +5,11 @@ import graft.core.XxHash64
 /** Frontier row (= the reference's WebPage record, SURVEY.md §1.5 mapping;
   * reference: storage/WebPage.java:36-56). Markers become typed columns;
   * the key is the 64-bit hash of the canonical URL; `bucket` is the salted
-  * host-hash partition (north rule: salted-key partitioning).
+  * host-hash partition (north rule: salted-key partitioning). `anchor` is
+  * the representative inlink anchor text (the reference keeps a full
+  * inlinks map<url,anchor>, WebPage.java:50; one deterministic
+  * representative — min across the discovery batch — is what the payload
+  * caption channel needs).
   */
 final case class CrawlRow(
     urlHash: Long,
@@ -25,6 +29,7 @@ final case class CrawlRow(
     distance: Int,
     lastBatch: String,
     reprUrl: String,
+    anchor: String,
     cfgId: Int,
     crawlType: Int)
 
@@ -42,8 +47,13 @@ final case class PayloadRow(
     urlHash: Long,
     batchId: String)
 
-/** One fetch attempt's result as it leaves the politeness scheduler.
-  * fetchStart/fetchEnd are virtual-clock millis (deterministic).
+/** One fetch attempt's result as it leaves the politeness scheduler:
+  * protocol outcome + RAW content bytes and headers (= the reference's
+  * WebPage.content / headers fields, storage/WebPage.java:44-49). No
+  * parse-derived fields here — outlinks/text/signature belong to the
+  * parse stage's output. fetchStart/fetchEnd are virtual-clock millis
+  * (deterministic). `contentLength` is the DECLARED Content-Length;
+  * `content` may be shorter on a truncated transfer.
   */
 final case class FetchResult(
     urlHash: Long,
@@ -52,10 +62,35 @@ final case class FetchResult(
     outcome: Int, // FetchOutcome codes
     contentType: String,
     redirectTo: String, // null unless redirect
-    outlinks: Map[String, String], // dst url -> anchor
-    signature: Array[Byte],
+    content: Array[Byte], // raw wire bytes (null unless fetched)
+    contentLength: Long,
+    headers: Map[String, String],
+    anchor: String, // inlink anchor carried from the frontier row
     srcScore: Float, // fetched row's frontier score (for outlink scoring)
     srcDistance: Int, // fetched row's link depth
+    fetchStart: Long,
+    fetchEnd: Long,
+    batchId: String)
+
+/** One page's parse output (= the reference's ParserJob/ParseUtil result:
+  * outlinks, text, signature, ParseStatus — reference
+  * parse/ParseUtil.java:244-367). Carries the fetch outcome + scoring
+  * lineage forward so updatedb consumes parse output alone.
+  */
+final case class ParsedPage(
+    urlHash: Long,
+    url: String,
+    host: String,
+    outcome: Int,
+    contentType: String,
+    redirectTo: String,
+    outlinks: Map[String, String], // dst url -> anchor/alt
+    text: String, // visible text (entity-decoded, tag-stripped)
+    signature: Array[Byte], // md5 of raw content bytes
+    parseStatus: Int, // Parse.Status* codes
+    anchor: String,
+    srcScore: Float,
+    srcDistance: Int,
     fetchStart: Long,
     fetchEnd: Long,
     batchId: String)
@@ -66,8 +101,8 @@ final case class Outcome(urlHash: Long, outcome: Int,
 
 /** A discovered URL emitted by parse toward updatedb. `contrib` is the
   * inherited-score contribution srcScore/srcOutDegree; the per-destination
-  * aggregate takes max(contrib) (order-independent — float sums are not)
-  * and min(distance).
+  * aggregate takes max(contrib) (order-independent — float sums are not),
+  * min(distance), and min(anchor) as the representative inlink anchor.
   */
 final case class Discovered(
     urlHash: Long,
@@ -77,7 +112,8 @@ final case class Discovered(
     bucket: Int,
     contrib: Float,
     inlinks: Int,
-    distance: Int) // src distance + 1
+    distance: Int, // src distance + 1
+    anchor: String)
 
 object Keys {
   val BucketSalt = 42L
@@ -93,7 +129,7 @@ object Keys {
 
   def rowOf(url: String, numBuckets: Int, now: Long,
       score: Float = 1.0f, distance: Int = 0,
-      intervalSec: Int = 30 * 24 * 3600): CrawlRow = {
+      intervalSec: Int = 30 * 24 * 3600, anchor: String = ""): CrawlRow = {
     val host = graft.core.Urls.host(url)
     CrawlRow(
       urlHash = XxHash64.hashUtf8(url, 42L),
@@ -113,6 +149,7 @@ object Keys {
       distance = distance,
       lastBatch = "",
       reprUrl = "",
+      anchor = anchor,
       cfgId = 0,
       crawlType = 7)
   }

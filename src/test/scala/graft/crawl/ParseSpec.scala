@@ -1,0 +1,128 @@
+package graft.crawl
+
+import java.nio.charset.StandardCharsets
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit gates for the parse stage's pure row logic: gzip decode, charset
+  * detection (header vs meta), entity decode, link extraction with
+  * relative resolution + alt captions, truncation handling — and the
+  * render->parse round-trip over the synthetic protocol layer.
+  */
+class ParseSpec extends AnyFunSuite {
+
+  test("gzip round-trips") {
+    val data = ("crawl " * 100).getBytes(StandardCharsets.UTF_8)
+    val gz = Parse.gzip(data)
+    assert(gz.length < data.length)
+    assert(Parse.gunzip(gz).sameElements(data))
+  }
+
+  test("entity decode: named, decimal, hex; unknown left intact") {
+    assert(Parse.decodeEntities("a &amp; b &lt;c&gt; &quot;d&quot;") ===
+      "a & b <c> \"d\"")
+    assert(Parse.decodeEntities("&#233; &#xe9;") === "é é")
+    assert(Parse.decodeEntities("&bogus; x") === "&bogus; x")
+    assert(Parse.decodeEntities(Parse.encodeEntities("q=1&l=2 <&> \"x\"")) ===
+      "q=1&l=2 <&> \"x\"")
+  }
+
+  test("charset detection: header param beats meta; meta beats default") {
+    val iso = "<html><head><meta charset=\"ISO-8859-1\"></head></html>"
+      .getBytes(StandardCharsets.ISO_8859_1)
+    assert(Parse.detectCharset("text/html", iso) ===
+      StandardCharsets.ISO_8859_1)
+    assert(Parse.detectCharset("text/html; charset=utf-8", iso) ===
+      StandardCharsets.UTF_8)
+    assert(Parse.detectCharset("text/html", "<html></html>".getBytes) ===
+      StandardCharsets.UTF_8)
+  }
+
+  test("link extraction: hrefs resolved, entities decoded, img alt = anchor") {
+    val html =
+      """<html><body>
+        |<a href="/a/b.html">first</a>
+        |<a href="c.html">second &amp; more</a>
+        |<a href="http://other.example/x?q=1&amp;l=en">abs</a>
+        |<img src="/img1_0.png" alt="caption 1"/>
+        |<a href="/a/b.html">dup ignored</a>
+        |</body></html>""".stripMargin
+    val links = Parse.extractLinks(html, "http://h.example/d/p.html")
+    assert(links === Seq(
+      "http://h.example/a/b.html" -> "first",
+      "http://h.example/d/c.html" -> "second & more",
+      "http://other.example/x?q=1&l=en" -> "abs",
+      "http://h.example/img1_0.png" -> "caption 1"))
+  }
+
+  test("truncated content parses to no outlinks; bad gzip fails safely") {
+    val html = "<html><a href=\"/x.html\">x</a></html>".getBytes
+    val ok = Parse.page("http://h.example/", "text/html", Map.empty, html,
+      html.length)
+    assert(ok.status === Parse.StatusOk && ok.outlinks.size === 1)
+    val trunc = Parse.page("http://h.example/", "text/html", Map.empty,
+      html.take(10), html.length)
+    assert(trunc.status === Parse.StatusTruncated && trunc.outlinks.isEmpty)
+    val badGz = Parse.page("http://h.example/", "text/html",
+      Map("content-encoding" -> "gzip"), html, html.length)
+    assert(badGz.status === Parse.StatusFailed && badGz.outlinks.isEmpty)
+  }
+
+  test("render->parse round-trip recovers the semantic outlink map") {
+    val cfg = WebConfig(numHosts = 6, pagesPerHost = 30)
+    var pages = 0
+    var sawGzip = false
+    var sawIso = false
+    var sawRelative = false
+    var sawEntityHref = false
+    for (h <- 0 until cfg.numHosts; p <- 0 until cfg.pagesPerHost) {
+      val url = SyntheticWeb.pageUrl(h, p)
+      SyntheticWeb.content(url, cfg) match {
+        case HtmlPage(outlinks) =>
+          SyntheticWeb.raw(url, cfg) match {
+            case RawPage(ct, headers, bytes, declared) =>
+              if (headers.contains("content-encoding")) sawGzip = true
+              val html = new String(
+                if (headers.contains("content-encoding"))
+                  (try Parse.gunzip(bytes)
+                  catch { case _: Exception => Array.emptyByteArray })
+                else bytes,
+                Parse.detectCharset(ct, bytes))
+              if (html.contains("ISO-8859-1")) sawIso = true
+              if (html.contains("href=\"/")) sawRelative = true
+              if (html.contains("&amp;")) sawEntityHref = true
+              val po = Parse.page(url, ct, headers, bytes, declared)
+              if (bytes.length == declared) {
+                pages += 1
+                assert(po.status === Parse.StatusOk)
+                assert(po.outlinks === outlinks, s"outlink mismatch at $url")
+                assert(po.text.nonEmpty)
+              } else assert(po.status === Parse.StatusTruncated)
+            case other => fail(s"$url rendered $other")
+          }
+        case _ => // redirects/errors have no render
+      }
+    }
+    assert(pages > 50)
+    assert(sawGzip && sawIso && sawRelative && sawEntityHref,
+      s"variant coverage: gzip=$sawGzip iso=$sawIso rel=$sawRelative " +
+        s"ent=$sawEntityHref")
+  }
+
+  test("ISO-8859-1 page text decodes accents correctly") {
+    val cfg = WebConfig(numHosts = 12, pagesPerHost = 40)
+    val isoTexts = for {
+      h <- 0 until cfg.numHosts
+      p <- 0 until cfg.pagesPerHost
+      url = SyntheticWeb.pageUrl(h, p)
+      po = SyntheticWeb.raw(url, cfg) match {
+        case RawPage(ct, headers, bytes, declared) =>
+          Parse.page(url, ct, headers, bytes, declared)
+        case _ => Parse.ParseOut(Map.empty, "", Parse.StatusFailed)
+      }
+      if po.status == Parse.StatusOk && po.text.contains("café")
+    } yield po.text
+    assert(isoTexts.nonEmpty, "no ISO-8859-1 page exercised")
+    isoTexts.foreach(t => assert(t.contains("résumé") && !t.contains("�")))
+  }
+}

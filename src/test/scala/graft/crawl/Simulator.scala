@@ -31,7 +31,8 @@ final class Simulator(
       var signature: Option[Seq[Byte]],
       var distance: Int,
       var lastBatch: String,
-      var reprUrl: String = "")
+      var reprUrl: String = "",
+      var anchor: String = "")
 
   val frontier = mutable.LinkedHashMap[String, SimRow]() // url -> row
   /** (batchId, url, fetchStart) in fetch-start order — the crawl ordering. */
@@ -80,8 +81,17 @@ final class Simulator(
   def fetchAndUpdate(list: Seq[SimRow], batchId: String, now: Long): Unit = {
     val byHost = list.groupBy(r => Urls.host(r.url))
     val outcomes = mutable.ArrayBuffer[(SimRow, Int, Option[Seq[Byte]])]()
-    val discovered = mutable.ArrayBuffer[(String, Float, Int)]() // url, contrib, dist
+    // url, contrib, dist, anchor
+    val discovered = mutable.ArrayBuffer[(String, Float, Int, String)]()
     val batchFetches = mutable.ArrayBuffer[(String, String, Long)]()
+
+    def discover(raw: String, anchor: String, contrib: Float, dist: Int)
+        : Unit =
+      Urls.canonicalize(raw)
+        .map(u => configs.configOrDefault(u).rewriteUrl(u))
+        .flatMap(Urls.canonicalize)
+        .filter(graft.core.UrlFilterChain.default.accepts)
+        .foreach(u => discovered += ((u, contrib, dist, anchor)))
 
     byHost.foreach { case (host, rows) =>
       val sorted = rows.sortBy(r => (-r.score, r.url))
@@ -105,36 +115,25 @@ final class Simulator(
           val end = start + SyntheticWeb.delayMs(r.url, webCfg)
           lanes(lane) = end + crawlDelayMs
           batchFetches += ((batchId, r.url, start))
-          SyntheticWeb.content(r.url, webCfg) match {
-            case HtmlPage(outlinks) =>
-              val sig = graft.core.Signature.md5(
-                outlinks.keys.toSeq.sorted.mkString("|").getBytes,
-                r.url).toSeq
-              outcomes += ((r, FetchOutcome.Success, Some(sig)))
-              val n = math.max(1, outlinks.size)
-              outlinks.keys.foreach { raw =>
-                Urls.canonicalize(raw)
-                  .map(u => configs.configOrDefault(u).rewriteUrl(u))
-                  .flatMap(Urls.canonicalize)
-                  .filter(graft.core.UrlFilterChain.default.accepts)
-                  .foreach(u =>
-                    discovered += ((u, r.score / n, r.distance + 1)))
-              }
-            case img: ImageFile =>
+          SyntheticWeb.raw(r.url, webCfg) match {
+            case RawPage(ct, headers, bytes, declaredLen) =>
               outcomes += ((r, FetchOutcome.Success,
-                Some(graft.core.Signature.md5(img.bytes, r.url).toSeq)))
-            case Redirect(to, perm) =>
+                Some(graft.core.Signature.md5(bytes, r.url).toSeq)))
+              // the same pure parse function the pipeline's parse stage
+              // runs (truncation / gzip / charset / entity handling)
+              val po = Parse.page(r.url, ct, headers, bytes, declaredLen)
+              val n = math.max(1, po.outlinks.size)
+              po.outlinks.foreach { case (raw, anchor) =>
+                discover(raw, anchor, r.score / n, r.distance + 1)
+              }
+            case RawRedirect(to, perm) =>
               outcomes += ((r,
                 if (perm) FetchOutcome.RedirPerm else FetchOutcome.RedirTemp,
                 None))
               if (perm) r.reprUrl = to
-              Urls.canonicalize(to)
-                .map(u => configs.configOrDefault(u).rewriteUrl(u))
-                .flatMap(Urls.canonicalize)
-                .filter(graft.core.UrlFilterChain.default.accepts)
-                .foreach(u => discovered += ((u, r.score, r.distance + 1)))
-            case NotFound => outcomes += ((r, FetchOutcome.Gone, None))
-            case ServerError =>
+              discover(to, "", r.score, r.distance + 1)
+            case RawNotFound => outcomes += ((r, FetchOutcome.Gone, None))
+            case RawServerError =>
               outcomes += ((r, FetchOutcome.RetryTransient, None))
           }
         }
@@ -164,8 +163,9 @@ final class Simulator(
       r.lastBatch = batchId
     }
 
-    // new rows: max contribution, min distance per url; existing rows
-    // take the shorter path's distance (DbUpdateReducer.java:235-250)
+    // new rows: max contribution, min distance, min anchor per url;
+    // existing rows take the shorter path's distance
+    // (DbUpdateReducer.java:235-250)
     discovered.groupBy(_._1).foreach { case (u, contribs) =>
       if (frontier.contains(u)) {
         val dist = contribs.map(_._3).min
@@ -182,7 +182,8 @@ final class Simulator(
             if (cfg.customIntervalSec > 0) cfg.customIntervalSec
             else scheduleCfg.defaultIntervalSec
           frontier(u) = SimRow(u, CrawlStatus.Unfetched, score, now, 0L,
-            interval, 0, 0L, None, dist, "")
+            interval, 0, 0L, None, dist, "",
+            anchor = contribs.map(_._4).min)
         }
       }
     }
