@@ -55,7 +55,9 @@ final class CrawlPipeline(
     maxDepth: Int = 3,
     additionsAllowed: Boolean = true,
     useBloomSeenFilter: Boolean = true,
-    configs: graft.core.ConfigTrie = graft.core.ConfigTrie.empty)
+    configs: graft.core.ConfigTrie = graft.core.ConfigTrie.empty,
+    queueMode: String = QueueMode.ByHost,
+    fetchTimelimitMs: Long = -1L)
     extends Serializable {
 
   import spark.implicits._
@@ -224,41 +226,73 @@ final class CrawlPipeline(
     val defaultDelay = webCfg.crawlDelayMs
     val defaultLanes = math.max(1, webCfg.maxConcurrent)
     val trie = trieBc
+    val mode = queueMode
+    val timelimit = fetchTimelimitMs
 
-    // groupByKey inserts one hash exchange on host — the politeness
-    // partitioner (reference URLPartitioner byHost). NOTE: AQE's
-    // post-shuffle coalescing must stay OFF for this stage: rows are tiny
-    // but rows-per-second is compute-bound (image decode/encode), and
-    // byte-based coalescing collapses it to one task (measured: identical
-    // 24.8s fetch wall at 2 and 32 cores with coalescing on).
+    // J2 host-settings lookup join: politeness settings come from the
+    // LATEST hostdb snapshot (the reference's HostDb.getByHostName LRU,
+    // host/HostDb.java:41-110), restricted to the batch's own queue keys
+    // before collection so the broadcast is fetchlist-bounded (<= topN
+    // keys), never |all hosts|. Unseen keys (batch 1, new hosts) fall
+    // back to the config trie — same values by construction.
+    val hostSettings: Map[String, (Long, Int)] = log.lastOf("hostdb") match {
+      case Some(c) =>
+        val keys = fetchlist
+          .map(r => QueueMode.keyOf(mode, r.host)).distinct().toDF("host")
+        spark.read.parquet(c.frontierPath)
+          .join(broadcast(keys), Seq("host"))
+          .select(col("host"), col("crawlDelayMs"), col("maxConcurrent"))
+          .as[(String, Long, Int)].collect()
+          .map(r => r._1 -> (r._2, r._3)).toMap
+      case None => Map.empty
+    }
+    val hsBc = spark.sparkContext.broadcast(hostSettings)
+
+    // groupByKey inserts one hash exchange on the queue key — the
+    // politeness partitioner (reference URLPartitioner byHost/byDomain/
+    // byIP). NOTE: AQE's post-shuffle coalescing must stay OFF for this
+    // stage: rows are tiny but rows-per-second is compute-bound (image
+    // decode/encode), and byte-based coalescing collapses it to one task
+    // (measured: identical 24.8s fetch wall at 2 and 32 cores with
+    // coalescing on).
     val results = fetchlist
-      .groupByKey(_.host)
-      .flatMapGroups { (host, rows) =>
+      .groupByKey(r => QueueMode.keyOf(mode, r.host))
+      .flatMapGroups { (qkey, rows) =>
         val sorted = rows.toArray.sortBy(r => (-r.score, r.url))
-        val disallows = SyntheticWeb.robotsDisallows(host) // robots cache:
-        // one lookup per host group == per-executor LRU in the reference
-        // J2: per-host politeness overrides (HostDb q_cd/q_mt analog)
-        val hostCfg = trie.value.configOrDefault(s"http://$host/")
-        val crawlDelay =
-          if (hostCfg.crawlDelayMs > 0) hostCfg.crawlDelayMs else defaultDelay
-        val lanes =
-          if (hostCfg.maxConcurrent > 1) hostCfg.maxConcurrent
-          else defaultLanes
+        // robots cache: one lookup per HOST in the queue group == the
+        // per-executor LRU in the reference (robots stay per-host even
+        // when the politeness queue is per-domain/IP)
+        val disallowsOf = scala.collection.mutable.Map[String, Seq[String]]()
+        // queue politeness settings: hostdb row for the queue key, else
+        // the config trie at the queue key (J2/J3)
+        val (crawlDelay, lanes) = hsBc.value.getOrElse(qkey, {
+          val qCfg = trie.value.configOrDefault(s"http://$qkey/")
+          (if (qCfg.crawlDelayMs > 0) qCfg.crawlDelayMs else defaultDelay,
+            if (qCfg.maxConcurrent > 1) qCfg.maxConcurrent else defaultLanes)
+        })
         val laneAvail = Array.fill(lanes)(now)
-        sorted.iterator.map { r =>
+        sorted.iterator.flatMap[FetchResult] { r =>
+          val host = r.host
           val lane = laneAvail.zipWithIndex.minBy { case (t, i) => (t, i) }._2
           val start = laneAvail(lane)
           val path = Urls.pathOf(r.url)
-          if (disallows.exists(path.startsWith)) {
+          val disallows =
+            disallowsOf.getOrElseUpdate(host, SyntheticWeb.robotsDisallows(host))
+          if (timelimit > 0 && start - now >= timelimit) {
+            // T5 timelimit: queue purged once the virtual budget is spent
+            // (reference FetcherReducer.java:739-756 feeder drain); the
+            // row keeps its frontier state and re-generates next batch
+            None
+          } else if (disallows.exists(path.startsWith)) {
             // robots-denied: no request is made — no politeness cost
-            FetchResult(r.urlHash, r.url, host, FetchOutcome.Gone,
+            Some(FetchResult(r.urlHash, r.url, host, FetchOutcome.Gone,
               "robots/denied", null, null, 0L, Map.empty, r.anchor,
-              r.score, r.distance, start, start, batchId)
+              r.score, r.distance, start, start, batchId))
           } else {
             val delay = f.delayMs(r.url)
             val end = start + delay
             laneAvail(lane) = end + crawlDelay
-            f.fetch(r.url) match {
+            Some(f.fetch(r.url) match {
               case RawPage(ct, headers, bytes, declaredLen) =>
                 FetchResult(r.urlHash, r.url, host, FetchOutcome.Success,
                   ct, null, bytes, declaredLen, headers, r.anchor,
@@ -278,7 +312,7 @@ final class CrawlPipeline(
                   FetchOutcome.RetryTransient, "text/html", null, null, 0L,
                   Map.empty, r.anchor, r.score, r.distance,
                   start, end, batchId)
-            }
+            })
           }
         }
       }
@@ -635,6 +669,46 @@ final class CrawlPipeline(
     readFrontier(path)
   }
 
+  // --------------------------------------------------------------- hostdb
+
+  /** Materialize the hostdb from the merged frontier (A3/J2 — reference
+    * host/HostDbUpdateJob.java:62-71 + HostDbUpdateReducer.java:39-80:
+    * per-host page/fetched counts; storage/Host.java per-host politeness
+    * keys q_cd/q_mt read by the fetcher at FetcherReducer.java:363-387).
+    * Stats aggregate map-side (hash partial agg) so the exchange carries
+    * |hosts| rows, not |frontier|; the effective politeness settings are
+    * materialized from the config trie so the NEXT batch's fetch reads
+    * them as a bounded table lookup.
+    */
+  def hostdb(frontier: Dataset[CrawlRow], batchId: String, now: Long)
+      : Dataset[HostRow] = {
+    val trie = trieBc
+    val defaultDelay = webCfg.crawlDelayMs
+    val defaultLanes = math.max(1, webCfg.maxConcurrent)
+    val agg = frontier.groupBy(col("host")).agg(
+      count(lit(1)).as("pages"),
+      count_if(col("status") === CrawlStatus.Fetched ||
+        col("status") === CrawlStatus.NotModified).as("fetched"),
+      count_if(col("status") === CrawlStatus.Gone).as("gone"),
+      count_if(col("status") === CrawlStatus.Unfetched).as("unfetched"),
+      avg(col("score")).as("avgScore"),
+      max(col("distance")).as("maxDistance"))
+      .as[(String, Long, Long, Long, Long, Double, Int)]
+    val out = agg.map { case (host, pages, fetched, gone, unf, avgS, maxD) =>
+      val cfg = trie.value.configOrDefault(s"http://$host/")
+      HostRow(host, pages, fetched, gone, unf, avgS, maxD,
+        if (cfg.crawlDelayMs > 0) cfg.crawlDelayMs else defaultDelay,
+        if (cfg.maxConcurrent > 1) cfg.maxConcurrent else defaultLanes,
+        batchId)
+    }
+    val path = s"$root/hostdb/$batchId"
+    out.write.mode(SaveMode.Overwrite).parquet(path)
+    val res = spark.read.parquet(path).as[HostRow]
+    commitStage(log.nextSeq(), batchId, "hostdb", path,
+      Map("all" -> res.count()), now)
+    res
+  }
+
   // ----------------------------------------------------------------- loop
 
   /** Drive `depth` generate->fetch->updatedb batches (reference:
@@ -676,6 +750,7 @@ final class CrawlPipeline(
             else parse(fetched, batchId, now)
           if (!committed((batchId, "payload"))) payloads(fetched, batchId)
           frontier = updatedb(frontier, parsedRows, batchId, now)
+          hostdb(frontier, batchId, now)
         }
       }
     }
@@ -687,4 +762,21 @@ final class CrawlPipeline(
 object UrlFilters {
   private val chain = graft.core.UrlFilterChain.default
   def accepts(url: String): Boolean = chain.accepts(url)
+}
+
+/** Politeness queue grouping (reference `fetcher.queue.mode`,
+  * crawl/URLPartitioner.java:79-114: byHost / byDomain / byIP). The queue
+  * key is what the fetch stage groups (and serializes politeness) on.
+  */
+object QueueMode {
+  val ByHost = "byHost"
+  val ByDomain = "byDomain"
+  val ByIP = "byIP"
+
+  def keyOf(mode: String, host: String): String = mode match {
+    case ByHost => host
+    case ByDomain => graft.core.Urls.domain(host)
+    case ByIP => SyntheticWeb.resolveIp(host)
+    case m => throw new IllegalArgumentException(s"queue mode $m")
+  }
 }

@@ -71,7 +71,10 @@ object SyntheticWeb {
   def seeds(cfg: WebConfig): Seq[String] =
     (0 until cfg.numHosts).map(seedUrl)
 
-  private val HostRe = """http://www\.test-(\d+)\.example(/.*)""".r
+  // `m.test-N.example` aliases mirror the www host's URL space (same
+  // registered domain) so byDomain/byIP politeness grouping has >1 host
+  // per queue to exercise
+  private val HostRe = """http://(?:www|m)\.test-(\d+)\.example(/.*)""".r
   private val PageRe = """/page(\d+)\.html""".r
   private val PrivateRe = """/private/page(\d+)\.html""".r
   private val ImgRe = """/img(\d+)_(\d+)\.(png|jpeg)""".r
@@ -103,6 +106,17 @@ object SyntheticWeb {
   /** Deterministic fetch delay for a URL (DelayHandler analog). */
   def delayMs(url: String, cfg: WebConfig): Long =
     math.floorMod(h64(url), cfg.maxDelayMs.toLong) + 1
+
+  /** Deterministic fake DNS: hosts of one registered domain resolve to one
+    * IP (the byIP queue-mode resolver; the reference calls
+    * InetAddress.getByName in URLPartitioner.java:96-104 — a real resolver
+    * is the production drop-in).
+    */
+  def resolveIp(host: String): String = {
+    val h = XxHash64.hashUtf8(graft.core.Urls.domain(host), 7L)
+    s"10.${math.floorMod(h, 200L)}.${math.floorMod(h >>> 8, 250L)}." +
+      s"${math.floorMod(h >>> 16, 250L)}"
+  }
 
   /** Image spec for an image URL: size, format, caption, pixels-seed. */
   def imageSpec(url: String, cfg: WebConfig): (Int, Int, String, String, Long) = {

@@ -95,6 +95,24 @@ final case class ParsedPage(
     fetchEnd: Long,
     batchId: String)
 
+/** One hostdb row (= the reference's Host table, storage/Host.java:41-110,
+  * computed by host/HostDbUpdateReducer.java:39-80): per-host crawl stats
+  * plus the EFFECTIVE politeness settings (the reference's q_cd/q_mt host
+  * keys, fetcher/FetcherReducer.java:363-387) materialized from the config
+  * trie so the fetch stage reads them as a table lookup, not a trie walk.
+  */
+final case class HostRow(
+    host: String,
+    pages: Long,
+    fetched: Long,
+    gone: Long,
+    unfetched: Long,
+    avgScore: Double,
+    maxDistance: Int,
+    crawlDelayMs: Long,
+    maxConcurrent: Int,
+    batchId: String)
+
 /** One fetch outcome keyed for the updatedb broadcast merge. */
 final case class Outcome(urlHash: Long, outcome: Int,
     signature: Array[Byte], batchId: String, redirectTo: String)

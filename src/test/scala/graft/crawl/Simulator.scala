@@ -17,7 +17,9 @@ final class Simulator(
     webCfg: WebConfig,
     scheduleCfg: ScheduleConfig = ScheduleConfig(),
     maxDepth: Int = 3,
-    configs: graft.core.ConfigTrie = graft.core.ConfigTrie.empty) {
+    configs: graft.core.ConfigTrie = graft.core.ConfigTrie.empty,
+    queueMode: String = QueueMode.ByHost,
+    fetchTimelimitMs: Long = -1L) {
 
   final case class SimRow(
       url: String,
@@ -79,7 +81,7 @@ final class Simulator(
     * virtual-clock contract; then merge outcomes + discoveries.
     */
   def fetchAndUpdate(list: Seq[SimRow], batchId: String, now: Long): Unit = {
-    val byHost = list.groupBy(r => Urls.host(r.url))
+    val byHost = list.groupBy(r => QueueMode.keyOf(queueMode, Urls.host(r.url)))
     val outcomes = mutable.ArrayBuffer[(SimRow, Int, Option[Seq[Byte]])]()
     // url, contrib, dist, anchor
     val discovered = mutable.ArrayBuffer[(String, Float, Int, String)]()
@@ -93,22 +95,25 @@ final class Simulator(
         .filter(graft.core.UrlFilterChain.default.accepts)
         .foreach(u => discovered += ((u, contrib, dist, anchor)))
 
-    byHost.foreach { case (host, rows) =>
+    byHost.foreach { case (qkey, rows) =>
       val sorted = rows.sortBy(r => (-r.score, r.url))
-      val disallows = SyntheticWeb.robotsDisallows(host)
-      val hostCfg = configs.configOrDefault(s"http://$host/")
+      val qCfg = configs.configOrDefault(s"http://$qkey/")
       val crawlDelayMs =
-        if (hostCfg.crawlDelayMs > 0) hostCfg.crawlDelayMs
+        if (qCfg.crawlDelayMs > 0) qCfg.crawlDelayMs
         else webCfg.crawlDelayMs
       val nLanes =
-        if (hostCfg.maxConcurrent > 1) hostCfg.maxConcurrent
+        if (qCfg.maxConcurrent > 1) qCfg.maxConcurrent
         else math.max(1, webCfg.maxConcurrent)
       val lanes = Array.fill(nLanes)(now)
       sorted.foreach { r =>
+        val host = Urls.host(r.url)
+        val disallows = SyntheticWeb.robotsDisallows(host)
         val lane = lanes.zipWithIndex.minBy { case (t, i) => (t, i) }._2
         val start = lanes(lane)
         val path = Urls.pathOf(r.url)
-        if (disallows.exists(path.startsWith)) {
+        if (fetchTimelimitMs > 0 && start - now >= fetchTimelimitMs) {
+          // T5 timelimit purge: not fetched, row state untouched
+        } else if (disallows.exists(path.startsWith)) {
           batchFetches += ((batchId, r.url, start))
           outcomes += ((r, FetchOutcome.Gone, None))
         } else {
