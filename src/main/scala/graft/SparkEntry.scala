@@ -50,5 +50,5 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     RelationalOps.oracles ++ TextOps.oracles ++ SimilarityOps.oracles ++
-      ExtractOps.oracles
+      ExtractOps.oracles ++ Dedup.oracles ++ MultimodalOps.oracles
 }

@@ -611,28 +611,56 @@ final class CrawlPipeline(
       if (sched.adaptive) mergeTyped(frontier, outcomes, discDist, now, sched)
       else mergeColumnar(frontier, outcomes, discDist, now, sched)
 
-    // new rows from discoveries. D1 URL-seen set (north rule): a bloom
-    // filter over frontier keys prunes definitely-new URLs; only the
+    // new rows from discoveries. D1 URL-seen set (north rule): bloom
+    // filters over frontier keys prune definitely-new URLs; only the
     // maybe-seen remainder pays the anti-join shuffle. The bloom is an
     // optimization gate, never the source of truth — exactness comes from
-    // the anti-join on the (much smaller) mightContain subset. At 10^10
-    // rows the bloom is built per-partition and the anti-join is
-    // storage-partitioned; here df.stat.bloomFilter suffices.
+    // the anti-join on the (much smaller) mightContain subset.
+    //
+    // Scale shape: the filters are PER-BUCKET and built distributed — each
+    // task folds its (bucket-partitioned) frontier slice into local
+    // filters, and discoveries cogroup with their own bucket's filters.
+    // No merged whole-frontier filter ever lands on the driver (the old
+    // df.stat.bloomFilter treeAggregate would hold ~9 GB on the driver at
+    // 10^10 keys / 0.03 fpp); peak memory anywhere is one bucket's filter.
     discAgg.persist() // consumed by both bloom branches
     val newDiscoveries =
       if (!additions) spark.emptyDataset[Discovered]
       else if (useBloomSeenFilter) {
-        // size the bloom from the commit log's lineage instead of a
-        // frontier re-count (one less full scan)
+        import org.apache.spark.util.sketch.BloomFilter
+        // size per-bucket filters from the commit log's lineage instead
+        // of a frontier re-count (one less full scan)
         val frontierCount = log.lastOf("updatedb").orElse(log.lastOf("inject"))
           .map(_.rowCount).getOrElse(1000L)
-        val bloom = frontier.stat.bloomFilter("urlHash",
-          math.max(1000L, frontierCount), 0.03)
-        val bloomBc = spark.sparkContext.broadcast(bloom)
-        val definitelyNew =
-          discAgg.filter(d => !bloomBc.value.mightContain(d.urlHash))
-        val maybeSeen =
-          discAgg.filter(d => bloomBc.value.mightContain(d.urlHash))
+        val perBucketExpected =
+          math.max(64L, 2L * frontierCount / math.max(1, numBuckets))
+        val blooms = frontier
+          .select(col("bucket"), col("urlHash")).as[(Int, Long)]
+          .mapPartitions { it =>
+            val fs = scala.collection.mutable.Map[Int, BloomFilter]()
+            it.foreach { case (b, h) =>
+              fs.getOrElseUpdate(b,
+                BloomFilter.create(perBucketExpected, 0.03)).putLong(h)
+            }
+            fs.iterator.map { case (b, f) =>
+              val bos = new java.io.ByteArrayOutputStream()
+              f.writeTo(bos)
+              (b, bos.toByteArray)
+            }
+          }
+        // a bucket may yield several partial filters (file splits); a key
+        // is in exactly one of them, so might-contain = exists(_)
+        val checked = discAgg
+          .groupByKey(_.bucket)
+          .cogroup(blooms.groupByKey(_._1)) { (_, discs, bs) =>
+            val filters = bs.map { case (_, bytes) =>
+              BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+            }.toArray
+            if (filters.isEmpty) discs.map(d => (d, false))
+            else discs.map(d => (d, filters.exists(_.mightContain(d.urlHash))))
+          }
+        val definitelyNew = checked.filter(c => !c._2).map(_._1)
+        val maybeSeen = checked.filter(c => c._2).map(_._1)
         definitelyNew.union(
           maybeSeen.join(frontier.select(col("urlHash")), Seq("urlHash"),
             "left_anti").as[Discovered])

@@ -5,13 +5,13 @@ import org.apache.spark.sql.functions._
 
 /** Export sink (S8 — reference exporter/DbExporter.java:21-165,
   * SegmentExporterJob.java:58-128: WebPageSegment rows -> RDBMS with
-  * auto-ALTERed columns per extracted field).
+  * auto-ALTERed columns per extracted field; TableMeta.java column sync).
   *
-  * Spark-native form: the "extracted fields" map pivots into real columns
-  * (the auto-ALTER analog is parquet schema merge across batch exports);
-  * the same DataFrame writes to any JDBC target via `df.write.jdbc` in
-  * production (no database ships in this sandbox — the JDBC path is the
-  * one-liner below, the tested path is parquet).
+  * Spark-native form: the "extracted fields" map pivots into real columns;
+  * `exportJdbc` writes through `df.write.jdbc` against a LIVE database,
+  * ALTERing the target table for columns it doesn't have yet (round-trip
+  * tested against an embedded DuckDB over its JDBC driver); parquet with
+  * schema-merge is the no-database alternative.
   */
 object Exporter {
 
@@ -48,5 +48,46 @@ object Exporter {
     wide.write.mode(SaveMode.Overwrite)
       .parquet(s"$outDir/batch_id=$batchId")
     spark.read.option("mergeSchema", "true").parquet(outDir)
+  }
+
+  private def jdbcTypeOf(dt: org.apache.spark.sql.types.DataType): String =
+    dt match {
+      case org.apache.spark.sql.types.LongType => "BIGINT"
+      case org.apache.spark.sql.types.IntegerType => "INTEGER"
+      case org.apache.spark.sql.types.DoubleType => "DOUBLE"
+      case org.apache.spark.sql.types.FloatType => "FLOAT"
+      case org.apache.spark.sql.types.BooleanType => "BOOLEAN"
+      case org.apache.spark.sql.types.TimestampType => "TIMESTAMP"
+      case _ => "VARCHAR"
+    }
+
+  /** Append a frame to a live JDBC table, first ALTERing the table to add
+    * any columns it lacks (the reference's DbExporter/TableMeta auto-ALTER
+    * flow, exporter/DbExporter.java:21-165: new extracted fields become
+    * new RDBMS columns, existing rows read NULL for them). Creates the
+    * table on first export.
+    */
+  def exportJdbc(df: DataFrame, jdbcUrl: String, table: String,
+      props: java.util.Properties = new java.util.Properties): Unit = {
+    val conn = java.sql.DriverManager.getConnection(jdbcUrl, props)
+    try {
+      val rs = conn.getMetaData.getColumns(null, null, table, null)
+      val existing = scala.collection.mutable.Set[String]()
+      while (rs.next()) existing += rs.getString("COLUMN_NAME").toLowerCase
+      val st = conn.createStatement()
+      if (existing.isEmpty)
+        st.execute(s"CREATE TABLE $table (" + df.schema.fields
+          .map(f => s"${f.name} ${jdbcTypeOf(f.dataType)}")
+          .mkString(", ") + ")")
+      else
+        df.schema.fields
+          .filterNot(f => existing(f.name.toLowerCase))
+          .foreach { f =>
+            st.execute(s"ALTER TABLE $table ADD COLUMN ${f.name} " +
+              jdbcTypeOf(f.dataType))
+          }
+      st.close()
+    } finally conn.close()
+    df.write.mode(SaveMode.Append).jdbc(jdbcUrl, table, props)
   }
 }

@@ -46,6 +46,43 @@ object ExtractOps {
       FieldRule("first_num", "([0-9]+)", 1, "long")))
   }
 
+  /** C5: block/row/column list extraction (reference
+    * parse/element/colrule/ListSegmentRule.java:28-329 +
+    * RegexListRule.java:19-121 — the 要素 rule engine's 3-level shape:
+    * a block regex selects the region, a row regex iterates matches
+    * within it, column rules extract fields per row; results keep row
+    * order). Compiled to pure Catalyst columns: regexp_extract (block) ->
+    * regexp_extract_all (rows) -> posexplode -> per-column regexp_extract.
+    * The whole rule is one codegen'd projection + one Generate — no UDF,
+    * no per-row rule interpreter (the reference interprets the rule DSL
+    * row by row).
+    */
+  final case class ListRule(
+      block: String, // regex whose group 1 is the region
+      row: String, // regex; each non-overlapping match is one row
+      cols: Seq[(String, Int)]) // output column name -> row-regex group
+
+  def applyListRule(df: DataFrame, textCol: String, idCols: Seq[String],
+      rule: ListRule): DataFrame = {
+    val block = regexp_extract(col(textCol), rule.block, 1)
+    val rows = regexp_extract_all(block, lit(rule.row), lit(0))
+    df.select(idCols.map(col) :+ posexplode(rows): _*)
+      .select(idCols.map(col) ++
+        Seq((col("pos") + 1).cast("long").as("idx")) ++
+        rule.cols.map { case (name, g) =>
+          regexp_extract(col("col"), rule.row, g).as(name)
+        }: _*)
+  }
+
+  /** Oracle-checked list extraction over `documents`: rows are
+    * "op argument" phrases inside the block starting at the first `scan`.
+    */
+  def listExtract(s: SparkSession, dir: String): DataFrame =
+    applyListRule(s.read.parquet(s"$dir/documents.parquet"), "text",
+      Seq("doc_id"),
+      ListRule("(scan.*)", "(scan|join|merge|sort) ([a-z]+)",
+        Seq("op" -> 1, "arg" -> 2)))
+
   /** C6 date parsing/arithmetic (DateCalcUtil `sysdate(+-n)` analogs):
     * interval add, truncation, field extraction.
     */
@@ -68,9 +105,17 @@ object ExtractOps {
       ("SELECT event_id, ts + INTERVAL 1 DAY AS next_day, " +
         "date_trunc('day', ts) AS day, extract(hour FROM ts) AS hr, " +
         "datediff('day', ts::DATE, DATE '2024-02-01') AS days_to_feb " +
-        "FROM events"))
+        "FROM events"),
+    "q_list_extract" ->
+      ("WITH b AS (SELECT doc_id, regexp_extract(text, '(scan.*)', 1) AS blk FROM documents), " +
+        "r AS (SELECT doc_id, regexp_extract_all(blk, '(scan|join|merge|sort) ([a-z]+)') AS rows_ FROM b) " +
+        "SELECT doc_id, idx, " +
+        "regexp_extract(row_, '(scan|join|merge|sort) ([a-z]+)', 1) AS op, " +
+        "regexp_extract(row_, '(scan|join|merge|sort) ([a-z]+)', 2) AS arg FROM (" +
+        "SELECT doc_id, unnest(rows_) AS row_, unnest(range(1, len(rows_) + 1)) AS idx FROM r)"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_field_extract" -> fieldExtract _,
-    "q_date_calc" -> dateCalc _)
+    "q_date_calc" -> dateCalc _,
+    "q_list_extract" -> listExtract _)
 }

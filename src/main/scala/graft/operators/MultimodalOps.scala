@@ -23,6 +23,27 @@ object MultimodalOps {
   final case class ImageMeta(media_id: Long, w: Int, h: Int, fmt: String,
       phash: Long, n_bytes: Int)
 
+  /** Media spec derived from md5 hex nibbles of the id — arithmetic BOTH
+    * engines can express (Spark md5() == DuckDB md5()), which is what lets
+    * the driver's DuckDB oracle gate q_media_stats: the oracle computes
+    * the EXPECTED dimensions from this formula while the Spark side must
+    * recover them by actually decoding the encoded bytes.
+    */
+  private[operators] def specOf(i: Long): (String, Int, Int, String) = {
+    val hex = graft.core.Signature.md5Hex(
+      i.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8), "")
+    def hv(k: Int): Int = "0123456789abcdef".indexOf(hex.charAt(k - 1))
+    val kind = hv(1) % 4 match {
+      case 0 | 1 => "image"
+      case 2 => "audio"
+      case _ => "video"
+    }
+    val w = 16 + (hv(2) * 16 + hv(3)) % 33
+    val h = 16 + (hv(4) * 16 + hv(5)) % 33
+    val fmt = if (hv(6) % 2 == 0) "png" else "jpeg"
+    (kind, w, h, fmt)
+  }
+
   /** Deterministic synthetic media table: real encoded images, opaque
     * audio/video byte blobs (seeded).
     */
@@ -30,18 +51,15 @@ object MultimodalOps {
     import spark.implicits._
     spark.range(n).map { i =>
       val seed = graft.core.XxHash64.hashLong(i, 11L)
-      (math.floorMod(seed, 4L).toInt: @unchecked) match {
-        case 0 | 1 =>
-          val w = 16 + math.floorMod(seed >>> 8, 33L).toInt
-          val h = 16 + math.floorMod(seed >>> 16, 33L).toInt
-          val fmt = if ((seed & 1L) == 0L) "png" else "jpeg"
+      specOf(i) match {
+        case ("image", w, h, fmt) =>
           MediaRow(i, "image",
             ImageCodec.encode(ImageCodec.pixels(seed, w, h), w, h, fmt), fmt)
-        case 2 =>
+        case ("audio", _, _, _) =>
           val bytes = Array.tabulate(2048)(j =>
             (graft.core.XxHash64.hashLong(seed + j, 13L) & 0xFF).toByte)
           MediaRow(i, "audio", bytes, "pcm16")
-        case 3 =>
+        case (_, _, _, _) =>
           val bytes = Array.tabulate(4096)(j =>
             (graft.core.XxHash64.hashLong(seed + j, 17L) & 0xFF).toByte)
           MediaRow(i, "video", bytes, "raw")
@@ -129,20 +147,41 @@ object MultimodalOps {
   }
 
   /** Driver-facing query: media inventory stats over a synthetic media
-    * table (bytes are generated, decoded, and summarized in one pass —
-    * exercising the full binary-column plumbing). Rows-only check.
+    * table. Image dimensions are recovered by DECODING the real encoded
+    * bytes (the full binary-column plumbing), while the DuckDB oracle
+    * computes the same dimensions from the md5 spec formula — a decode
+    * that dropped or distorted a single image fails the hash gate.
     */
   def mediaStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val media = syntheticMedia(spark, 400)
     val img = imageMeta(media)
-      .select(lit("image").as("kind"), col("n_bytes").cast("long"))
+      .select(lit("image").as("kind"), col("w"), col("h"))
     val rest = media.filter(r => r.kind != "image")
-      .map(r => (r.kind, r.bytes.length.toLong)).toDF("kind", "n_bytes")
+      .map(r => (r.kind, 0, 0)).toDF("kind", "w", "h")
     img.union(rest)
       .groupBy(col("kind"))
-      .agg(count(lit(1)).as("cnt"), sum(col("n_bytes")).as("total_bytes"))
+      .agg(count(lit(1)).as("cnt"),
+        round(avg(col("w")), 4).as("avg_w"),
+        round(avg(col("h")), 4).as("avg_h"))
   }
+
+  /** The md5-nibble spec formula, expressed in DuckDB SQL (hv(k) =
+    * instr('0123456789abcdef', substr(md5(i), k, 1)) - 1).
+    */
+  val oracles: Map[String, String] = Map(
+    "q_media_stats" ->
+      ("WITH m AS (SELECT i, md5(CAST(i AS VARCHAR)) AS x FROM range(400) t(i)), " +
+        "spec AS (SELECT i, " +
+        "CASE WHEN (instr('0123456789abcdef', substr(x, 1, 1)) - 1) % 4 <= 1 THEN 'image' " +
+        "WHEN (instr('0123456789abcdef', substr(x, 1, 1)) - 1) % 4 = 2 THEN 'audio' ELSE 'video' END AS kind, " +
+        "16 + ((instr('0123456789abcdef', substr(x, 2, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(x, 3, 1)) - 1)) % 33 AS w, " +
+        "16 + ((instr('0123456789abcdef', substr(x, 4, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(x, 5, 1)) - 1)) % 33 AS h " +
+        "FROM m) " +
+        "SELECT kind, count(*) AS cnt, " +
+        "round(avg(CASE WHEN kind = 'image' THEN w ELSE 0 END), 4) AS avg_w, " +
+        "round(avg(CASE WHEN kind = 'image' THEN h ELSE 0 END), 4) AS avg_h " +
+        "FROM spec GROUP BY kind"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_stats" -> (mediaStats _))

@@ -83,6 +83,37 @@ object SimilarityOps {
       (h.toDouble / Long.MaxValue.toDouble)
     }
 
+  /** Hot-bucket cap: a popular LSH bucket does O(|bucket|^2) pair work in
+    * one task — at corpus scale one dense bucket becomes a multi-hour
+    * straggler. Buckets above `cap` are recursively re-split with EXTRA
+    * hyperplanes (escalated banding: similar vectors keep landing
+    * together, so top-k recall degrades gracefully, not arbitrarily).
+    * Degenerate masses that no hyperplane separates (near-identical
+    * vectors) fall back to overlapping id-sorted windows (stride cap/2):
+    * task time stays O(cap^2) and transitive near-dup connectivity is
+    * preserved through the window overlap.
+    */
+  private[operators] def capBuckets(members: Array[VecBucket], cap: Int,
+      dim: Int): Iterator[Array[VecBucket]] = {
+    def windows(ms: Array[VecBucket]): Iterator[Array[VecBucket]] = {
+      val sorted = ms.sortBy(_.vecId)
+      val stride = math.max(1, cap / 2)
+      (0 until sorted.length by stride).iterator
+        .map(i => sorted.slice(i, math.min(sorted.length, i + cap)))
+        .filter(_.length > 1)
+    }
+    def split(ms: Array[VecBucket], depth: Int): Iterator[Array[VecBucket]] =
+      if (ms.length <= cap) Iterator.single(ms)
+      else if (depth >= 24) windows(ms)
+      else {
+        val plane = hyperplane(1 << 20 | ms.head.tbl << 8 | depth, dim)
+        val (pos, neg) = ms.partition(m => dotArr(m.v, plane) >= 0)
+        if (pos.isEmpty || neg.isEmpty) windows(ms)
+        else split(pos, depth + 1) ++ split(neg, depth + 1)
+      }
+    split(members, 0)
+  }
+
   /** Explode a vector table into one row per (LSH table, bucket).
     * Multi-table random-hyperplane LSH: `nTables` independent tables of
     * `planesPerTable` sign bits each. A pair of similar vectors collides in
@@ -116,25 +147,27 @@ object SimilarityOps {
     * baseline is asserted in OperatorsSpec.
     */
   def cosineTopKLsh(s: SparkSession, dir: String, nQueries: Int = 10,
-      k: Int = 5, nTables: Int = 8, planesPerTable: Int = 4, dim: Int = 64)
-      : DataFrame = {
+      k: Int = 5, nTables: Int = 8, planesPerTable: Int = 4, dim: Int = 64,
+      bucketCap: Int = 512): DataFrame = {
     import s.implicits._
     val e = emb(s, dir).select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val bucketed = toVecBuckets(e, nTables, planesPerTable, dim)
     // pair scoring inside the bucket group at JVM speed: clustered data
     // makes LSH buckets genuinely dense, so the candidate volume is
     // millions of pairs — Catalyst array element access was an ~80x
-    // penalty on this hot loop (measured 40s -> ~2s at 2000 vectors)
+    // penalty on this hot loop (measured 40s -> ~2s at 2000 vectors).
+    // capBuckets bounds each group's pair loop at O(cap^2).
     val scored = bucketed
       .groupByKey(r => (r.tbl, r.bucket))
       .flatMapGroups { (_: (Int, Long), it: Iterator[VecBucket]) =>
-        val members = it.toArray
-        val queries = members.filter(_.vecId < nQueries)
-        for {
-          q <- queries.iterator
-          c <- members.iterator if c.vecId != q.vecId
-        } yield (q.vecId, c.vecId,
-          round4(dotArr(q.v, c.v) / (q.nrm * c.nrm)))
+        capBuckets(it.toArray, bucketCap, dim).flatMap { members =>
+          val queries = members.filter(_.vecId < nQueries)
+          for {
+            q <- queries.iterator
+            c <- members.iterator if c.vecId != q.vecId
+          } yield (q.vecId, c.vecId,
+            round4(dotArr(q.v, c.v) / (q.nrm * c.nrm)))
+        }
       }
       .toDF("query_id", "vec_id", "sim")
       .dropDuplicates("query_id", "vec_id")
@@ -173,25 +206,29 @@ object SimilarityOps {
     * LSH-blocked (multi-table), exactly verified within bucket.
     */
   def embeddingNearDup(s: SparkSession, dir: String, threshold: Double = 0.35,
-      nTables: Int = 8, planesPerTable: Int = 4, dim: Int = 64): DataFrame = {
+      nTables: Int = 8, planesPerTable: Int = 4, dim: Int = 64,
+      bucketCap: Int = 512): DataFrame = {
     import s.implicits._
     val e = emb(s, dir).select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val pairs = toVecBuckets(e, nTables, planesPerTable, dim)
       .groupByKey(r => (r.tbl, r.bucket))
       .flatMapGroups { (_: (Int, Long), it: Iterator[VecBucket]) =>
-        val m = it.toArray.sortBy(_.vecId)
-        val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
-        var i = 0
-        while (i < m.length) {
-          var j = i + 1
-          while (j < m.length) {
-            val sim = round4(dotArr(m(i).v, m(j).v) / (m(i).nrm * m(j).nrm))
-            if (sim >= threshold) out += ((m(i).vecId, m(j).vecId, sim))
-            j += 1
+        capBuckets(it.toArray, bucketCap, dim).flatMap { grp =>
+          val m = grp.sortBy(_.vecId)
+          val out =
+            scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+          var i = 0
+          while (i < m.length) {
+            var j = i + 1
+            while (j < m.length) {
+              val sim = round4(dotArr(m(i).v, m(j).v) / (m(i).nrm * m(j).nrm))
+              if (sim >= threshold) out += ((m(i).vecId, m(j).vecId, sim))
+              j += 1
+            }
+            i += 1
           }
-          i += 1
+          out.iterator
         }
-        out.iterator
       }
       .toDF("id_a", "id_b", "sim")
     pairs.dropDuplicates("id_a", "id_b")

@@ -130,11 +130,31 @@ object TextOps {
     if (cnt == 0) "und" else best
   }
 
-  def langId(s: SparkSession, dir: String): DataFrame = {
-    val detect = udf(detectLang _)
-    docs(s, dir).select(col("doc_id"), col("lang"),
-      detect(col("text")).as("pred_lang"))
+  /** Language ID as a pure Column expression (codegen'd, oracle-checkable):
+    * the same marker-count heuristic as detectLang — CJK character ratio
+    * => zh, else argmax over marker-token counts with ties broken toward
+    * the lexicographically larger code (detectLang's maxBy order), zero
+    * markers => und.
+    */
+  def langIdCol(text: Column): Column = {
+    val toks = filter(split(lower(text), "\\s+"), x => x =!= lit(""))
+    def score(lang: String): Column =
+      size(filter(toks, x => x.isInCollection(langMarkers(lang))))
+    val en = score("en"); val de = score("de")
+    val fr = score("fr"); val es = score("es")
+    val best = greatest(en, de, fr, es)
+    val cjk = size(regexp_extract_all(text, lit("[一-鿿]"), lit(0)))
+    when(length(text) > 0 && cjk * 5 >= length(text), lit("zh"))
+      .when(best === 0, lit("und"))
+      .when(fr === best, lit("fr")) // descending code order = maxBy tie-break
+      .when(es === best, lit("es"))
+      .when(en === best, lit("en"))
+      .otherwise(lit("de"))
   }
+
+  def langId(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), col("lang"),
+      langIdCol(col("text")).as("pred_lang"))
 
   // --- document fingerprint (rolling hash; no SQL oracle — spec-tested) ---
 
@@ -189,7 +209,20 @@ object TextOps {
       "SELECT md5(text) AS sig, min(doc_id) AS keeper, count(*) AS n FROM documents GROUP BY 1",
     "q_word_freq" ->
       ("SELECT word, count(*) AS cnt FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word " +
-        "FROM documents) GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 20"))
+        "FROM documents) GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 20"),
+    "q_lang_id" ->
+      ("SELECT doc_id, lang, CASE " +
+        "WHEN length(text) > 0 AND len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) * 5 >= length(text) THEN 'zh' " +
+        "WHEN greatest(en, de, fr, es) = 0 THEN 'und' " +
+        "WHEN fr = greatest(en, de, fr, es) THEN 'fr' " +
+        "WHEN es = greatest(en, de, fr, es) THEN 'es' " +
+        "WHEN en = greatest(en, de, fr, es) THEN 'en' ELSE 'de' END AS pred_lang FROM (" +
+        "SELECT doc_id, lang, text, " +
+        "len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x IN ('the','and','of','to','in','is','that','with'))) AS en, " +
+        "len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x IN ('der','die','das','und','ist','nicht','mit','ein'))) AS de, " +
+        "len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x IN ('le','la','les','et','est','pas','une','dans'))) AS fr, " +
+        "len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x IN ('el','la','los','las','es','una','para','como'))) AS es " +
+        "FROM documents)"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_token_count" -> tokenCount _,

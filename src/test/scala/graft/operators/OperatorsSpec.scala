@@ -95,6 +95,56 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("hot-bucket cap: bounded pair work, graceful split, connectivity") {
+    // splittable skew: directionally-spread vectors -> recursive
+    // hyperplane splits partition the bucket with no duplication
+    val dim = 8
+    val spread = Array.tabulate(1024) { i =>
+      SimilarityOps.VecBucket(0, 0L, i.toLong,
+        Array.tabulate(dim) { d =>
+          val h = XxHash64.hashLong(i.toLong * 31 + d, 5L)
+          h.toDouble / Long.MaxValue
+        }, 1.0)
+    }
+    val splitGroups = SimilarityOps.capBuckets(spread, 256, dim).toArray
+    assert(splitGroups.forall(_.length <= 256))
+    assert(splitGroups.map(_.length).sum === 1024) // split is a partition
+
+    // degenerate skew: identical vectors no hyperplane separates ->
+    // overlapping windows; work stays O(N*cap), ids all covered, and the
+    // window overlap chains them into one component
+    val same = Array.tabulate(3000)(i => SimilarityOps.VecBucket(0, 0L,
+      i.toLong, Array.fill(dim)(1.0), math.sqrt(dim.toDouble)))
+    val win = SimilarityOps.capBuckets(same, 256, dim).toArray
+    assert(win.forall(_.length <= 256))
+    val work = win.map(g => g.length.toLong * g.length).sum
+    assert(work <= 3000L * 256 * 4, s"unbounded pair work: $work")
+    assert(win.flatMap(_.map(_.vecId)).toSet.size === 3000)
+    // adjacent windows overlap (stride cap/2) => transitive connectivity
+    val sortedWin = win.map(_.map(_.vecId).toSet).sortBy(_.min)
+    sortedWin.sliding(2).foreach {
+      case Array(a, b) => assert(a.intersect(b).nonEmpty)
+      case _ =>
+    }
+  }
+
+  test("embedding near-dup completes bounded on a one-cluster skewed set") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("skew-emb").toString
+    // 1500 near-identical vectors: every LSH table puts them in ONE bucket
+    spark.range(1500).map { i =>
+      (i, Array.tabulate(64)(d => 1.0f + (i % 5) * 1e-4f + d * 0f), 0)
+    }.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val pairs = SimilarityOps.embeddingNearDup(spark, dir, threshold = 0.9,
+      bucketCap = 128).as[(Long, Long, Double)].collect()
+    // bounded at ~N*cap window pairs (vs N^2/2 = 1.1M all-pairs), with
+    // full coverage — every vector appears in at least one near-dup pair
+    assert(pairs.length <= 1500 * 128, s"pair explosion: ${pairs.length}")
+    val covered = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(covered.size === 1500)
+  }
+
   test("langid: deterministic and sane on constructed texts") {
     assert(TextOps.detectLang("the cat and the hat is in the house") === "en")
     assert(TextOps.detectLang("der hund und die katze ist nicht da") === "de")
