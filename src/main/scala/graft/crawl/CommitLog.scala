@@ -23,13 +23,19 @@ import com.fasterxml.jackson.module.scala.DefaultScalaModule
 final case class Commit(
     seq: Long,
     batchId: String,
-    stage: String, // inject | generate | fetch | updatedb
+    stage: String, // inject | generate | fetch | parse | updatedb | ...
     status: String, // complete (only complete commits are ever written)
-    frontierPath: String, // snapshot dir this stage produced/read
+    frontierPath: String, // BASE snapshot dir this stage produced/read
     rowCount: Long,
     partitionCounts: Map[String, Long], // per-bucket lineage
     metrics: Map[String, Double],
-    virtualTime: Long)
+    virtualTime: Long,
+    // merge-on-read lineage (Iceberg MoR contract): the frontier state is
+    // base ∖ delta-keys ∪ deltas (latest delta wins per key). Empty for
+    // full snapshots; bounded by the compaction interval otherwise.
+    deltaPaths: Seq[String] = Nil) {
+  def deltas: Seq[String] = Option(deltaPaths).getOrElse(Nil)
+}
 
 final class CommitLog(root: String) {
   private val dir = new File(root, "_commits")

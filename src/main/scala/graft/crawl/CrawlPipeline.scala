@@ -57,7 +57,8 @@ final class CrawlPipeline(
     useBloomSeenFilter: Boolean = true,
     configs: graft.core.ConfigTrie = graft.core.ConfigTrie.empty,
     queueMode: String = QueueMode.ByHost,
-    fetchTimelimitMs: Long = -1L)
+    fetchTimelimitMs: Long = -1L,
+    compactEvery: Int = 4)
     extends Serializable {
 
   import spark.implicits._
@@ -120,11 +121,70 @@ final class CrawlPipeline(
   def readFrontier(path: String): Dataset[CrawlRow] =
     spark.read.parquet(path).as[CrawlRow]
 
+  /** The last committed frontier STATE (inject / updatedb / compact),
+    * whichever is newest in the log.
+    */
+  private[crawl] def lastState(): Option[Commit] =
+    log.commits()
+      .filter(c => c.stage == "updatedb" || c.stage == "inject" ||
+        c.stage == "compact")
+      .lastOption
+
+  /** Resolve a commit's frontier view — Iceberg merge-on-read semantics:
+    * base snapshot minus keys present in any delta, union the latest
+    * delta version of each key. The delta chain is bounded by
+    * `compactEvery`, so the delta union (and the anti-join's broadcast
+    * side) stays topN-bounded; the base scan remains untouched columnar
+    * parquet. A full snapshot (no deltas) reads directly.
+    */
+  private[crawl] def viewOf(c: Commit): Dataset[CrawlRow] = {
+    if (c.deltas.isEmpty) readFrontier(c.frontierPath)
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("urlHash")).orderBy(col("_dseq").desc)
+      val latest = c.deltas.zipWithIndex
+        .map { case (p, i) =>
+          spark.read.parquet(p).withColumn("_dseq", lit(i)) }
+        .reduce(_ union _)
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .drop("_rn", "_dseq")
+        .as[CrawlRow]
+      // unionByName: a partitionBy-layout base read appends `bucket` last,
+      // while delta files carry case-class column order
+      readFrontier(c.frontierPath)
+        .join(broadcast(latest.select(col("urlHash"))), Seq("urlHash"),
+          "left_anti")
+        .unionByName(latest.toDF())
+        .as[CrawlRow]
+    }
+  }
+
+  /** The current frontier state as a Dataset (test/ops surface). */
+  def frontierState(): Dataset[CrawlRow] =
+    viewOf(lastState().getOrElse(
+      throw new IllegalStateException("no frontier committed yet")))
+
+  /** Compact the delta chain into a full snapshot (the Iceberg MoR
+    * compaction job). No-op when the state is already a full snapshot.
+    */
+  def compact(now: Long): Unit = lastState().foreach { c =>
+    if (c.deltas.nonEmpty) {
+      val seq = log.nextSeq()
+      val path = snapshotDir(seq)
+      val t0 = System.nanoTime()
+      val counts = writeFrontier(viewOf(c), path)
+      commitStage(seq, c.batchId, "compact", path, counts, now,
+        Map("compactWallMs" -> ((System.nanoTime() - t0) / 1e6)))
+    }
+  }
+
   private def commitStage(seq: Long, batchId: String, stage: String,
       frontierPath: String, partCounts: Map[String, Long], now: Long,
-      metrics: Map[String, Double] = Map.empty): Commit =
+      metrics: Map[String, Double] = Map.empty,
+      deltaPaths: Seq[String] = Nil): Commit =
     log.append(Commit(seq, batchId, stage, "complete", frontierPath,
-      partCounts.values.sum, partCounts, metrics, now))
+      partCounts.values.sum, partCounts, metrics, now, deltaPaths))
 
   // -------------------------------------------------------------- generate
 
@@ -201,8 +261,7 @@ final class CrawlPipeline(
     val counts = out.groupBy("bucket").count().as[(Int, Long)].collect()
       .map { case (b, c) => b.toString -> c }.toMap
     commitStage(log.nextSeq(), batchId, "generate",
-      log.lastOf("updatedb").orElse(log.lastOf("inject"))
-        .map(_.frontierPath).getOrElse(""), counts, now)
+      lastState().map(_.frontierPath).getOrElse(""), counts, now)
     out
   }
 
@@ -319,7 +378,12 @@ final class CrawlPipeline(
 
     val path = s"$root/batches/$batchId/fetched"
     val t0 = System.nanoTime()
-    results.write.mode(SaveMode.Overwrite).parquet(path)
+    // content bytes are jpeg/png/gzip — already entropy-coded; parquet
+    // snappy on top is pure CPU/allocation overhead on the widest write,
+    // and dictionary-encoding unique binaries is wasted hashing
+    results.write.mode(SaveMode.Overwrite)
+      .option("compression", "uncompressed")
+      .option("parquet.enable.dictionary", "false").parquet(path)
     val fetchWallMs = (System.nanoTime() - t0) / 1e6
     val out = spark.read.parquet(path).as[FetchResult]
     val (n, maxEnd) = out.agg(count(lit(1)), max(col("fetchEnd")))
@@ -392,7 +456,8 @@ final class CrawlPipeline(
           ImageCodec.phash(px, w, h), r.urlHash, batchId)
       }
     val path = s"$root/batches/$batchId/payload"
-    out.write.mode(SaveMode.Overwrite).parquet(path)
+    out.write.mode(SaveMode.Overwrite)
+      .option("compression", "uncompressed").parquet(path) // encoded bytes
     val res = spark.read.parquet(path).as[PayloadRow]
     commitStage(log.nextSeq(), batchId, "payload", path,
       Map("all" -> res.count()), 0L)
@@ -607,9 +672,20 @@ final class CrawlPipeline(
       .map(d => (d.urlHash, d.distance))
       .toDF("urlHash", "newDist")
       .as[(Long, Int)]
-    val merged: Dataset[CrawlRow] =
-      if (sched.adaptive) mergeTyped(frontier, outcomes, discDist, now, sched)
-      else mergeColumnar(frontier, outcomes, discDist, now, sched)
+
+    // MoR: the merge only ever REWRITES touched rows (rows with a fetch
+    // outcome this batch, or rediscovered rows whose distance may
+    // refine) — both key sets are topN-bounded, so `touched` is a
+    // broadcast semi-join against the frontier scan and the merge output
+    // is delta-sized, not frontier-sized.
+    val touchedKeys = outcomes.select(col("urlHash"))
+      .union(discDist.select(col("urlHash"))).distinct()
+    val touched = frontier
+      .join(broadcast(touchedKeys), Seq("urlHash"), "left_semi")
+      .as[CrawlRow]
+    val changed: Dataset[CrawlRow] =
+      if (sched.adaptive) mergeTyped(touched, outcomes, discDist, now, sched)
+      else mergeColumnar(touched, outcomes, discDist, now, sched)
 
     // new rows from discoveries. D1 URL-seen set (north rule): bloom
     // filters over frontier keys prune definitely-new URLs; only the
@@ -630,8 +706,7 @@ final class CrawlPipeline(
         import org.apache.spark.util.sketch.BloomFilter
         // size per-bucket filters from the commit log's lineage instead
         // of a frontier re-count (one less full scan)
-        val frontierCount = log.lastOf("updatedb").orElse(log.lastOf("inject"))
-          .map(_.rowCount).getOrElse(1000L)
+        val frontierCount = lastState().map(_.rowCount).getOrElse(1000L)
         val perBucketExpected =
           math.max(64L, 2L * frontierCount / math.max(1, numBuckets))
         val blooms = frontier
@@ -682,19 +757,51 @@ final class CrawlPipeline(
           anchor = d.anchor)
       }
 
-    // distance refinement for existing rows: min(existing, discovered+src)
-    // is folded in a second pass only when a shorter path appeared
-    val refreshed = merged.union(newRows)
-
+    // Snapshot strategy (Iceberg merge-on-read, emulated): each batch
+    // writes a DELTA of changed+new rows (topN-bounded — never the
+    // frontier), and every `compactEvery`-th batch compacts the chain
+    // into a full bucket-partitioned snapshot. Round 1's full rewrite per
+    // batch made the snapshot exchange the merge stage's scaling
+    // bottleneck (0.60 efficiency); here the per-batch merge cost is
+    // O(delta) and the full-width exchange is amortized over the chain.
+    val prev = lastState()
+    val chainLen = prev.map(_.deltas.size).getOrElse(0)
     val seq = log.nextSeq()
-    val path = snapshotDir(seq)
     val t0 = System.nanoTime()
-    val counts = writeFrontier(refreshed, path)
-    val mergeMs = (System.nanoTime() - t0) / 1e6
+    val delta = changed.union(newRows)
+    val result =
+      if (chainLen >= compactEvery - 1) {
+        // compacting merge: fold the chain + this batch into a full
+        // snapshot (the only full-width write in the cycle)
+        val path = snapshotDir(seq)
+        val untouched = frontier
+          .join(broadcast(touchedKeys), Seq("urlHash"), "left_anti")
+        val counts = writeFrontier(
+          untouched.unionByName(delta.toDF()).as[CrawlRow], path)
+        val mergeMs = (System.nanoTime() - t0) / 1e6
+        commitStage(seq, batchId, "updatedb", path, counts, now,
+          Map("mergeWallMs" -> mergeMs, "compacted" -> 1.0))
+      } else {
+        val deltaPath = s"$root/frontier/delta-$seq"
+        delta.repartition(math.max(1, numBuckets / 8), col("bucket"))
+          .write.mode(SaveMode.Overwrite).parquet(deltaPath)
+        val basePath = prev.map(_.frontierPath).getOrElse("")
+        val deltas = prev.map(_.deltas).getOrElse(Nil) :+ deltaPath
+        val mergeMs = (System.nanoTime() - t0) / 1e6
+        // lineage counts for a delta commit describe the DELTA files — no
+        // extra full-view pass per batch. rowCount upper-bounds the
+        // logical state (prev total + delta rows; touched rows double in
+        // the bound) — its only consumer is bloom sizing, where an
+        // over-estimate just lowers the fpp.
+        val deltaCounts = spark.read.parquet(deltaPath)
+          .groupBy(col("bucket")).count().as[(Int, Long)].collect()
+          .map { case (b, c) => b.toString -> c }.toMap
+        val total = prev.map(_.rowCount).getOrElse(0L) + deltaCounts.values.sum
+        log.append(Commit(seq, batchId, "updatedb", "complete", basePath,
+          total, deltaCounts, Map("mergeWallMs" -> mergeMs), now, deltas))
+      }
     discAgg.unpersist()
-    commitStage(seq, batchId, "updatedb", path, counts, now,
-      Map("mergeWallMs" -> mergeMs))
-    readFrontier(path)
+    viewOf(result)
   }
 
   // --------------------------------------------------------------- hostdb
@@ -746,8 +853,8 @@ final class CrawlPipeline(
     */
   def runBatches(depth: Int, topN: Int, maxPerHost: Int,
       startTime: Long = 1700000000000L): Dataset[CrawlRow] = {
-    var frontier = log.lastOf("updatedb").orElse(log.lastOf("inject")) match {
-      case Some(c) => readFrontier(c.frontierPath)
+    var frontier = lastState() match {
+      case Some(c) => viewOf(c)
       case None =>
         inject(SyntheticWeb.seeds(webCfg), startTime)
     }
@@ -756,6 +863,11 @@ final class CrawlPipeline(
       val batchId = s"b$i"
       if (!committed((batchId, "updatedb"))) {
         val now = startTime + i * 3600000L // 1h virtual tick per batch
+        // the frontier VIEW is consumed by generate, the seen-set bloom,
+        // the anti-join, the touched semi-join, and hostdb — cache it for
+        // the batch instead of re-resolving base ∖ deltas per consumer
+        frontier.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // T2 step gate: a committed stage is never re-run — resume picks
         // up the staged parquet exactly where the crash left off
         val list =
@@ -777,7 +889,11 @@ final class CrawlPipeline(
                 .as[ParsedPage]
             else parse(fetched, batchId, now)
           if (!committed((batchId, "payload"))) payloads(fetched, batchId)
-          frontier = updatedb(frontier, parsedRows, batchId, now)
+          val next = updatedb(frontier, parsedRows, batchId, now)
+          next.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          frontier.unpersist()
+          frontier = next
           hostdb(frontier, batchId, now)
         }
       }

@@ -2,7 +2,7 @@ package graft.crawl
 
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import java.nio.charset.{Charset, StandardCharsets}
-import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+import java.util.zip.GZIPInputStream
 
 import graft.core.Urls
 
@@ -36,11 +36,35 @@ object Parse {
 
   // ------------------------------------------------------------ gzip (C8)
 
+  // one native zlib stream per thread: a fresh Deflater per page (what
+  // GZIPOutputStream allocates) is native malloc + finalizer pressure on
+  // the fetch hot path at high thread counts
+  private val deflaterLocal =
+    ThreadLocal.withInitial[java.util.zip.Deflater](() =>
+      new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, true))
+
   def gzip(bytes: Array[Byte]): Array[Byte] = {
+    val d = deflaterLocal.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
     val bos = new ByteArrayOutputStream(bytes.length / 2 + 64)
-    val gz = new GZIPOutputStream(bos)
-    gz.write(bytes)
-    gz.close()
+    // RFC 1952 header (deflate, no flags/mtime, unknown OS)
+    bos.write(Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0))
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) {
+      val n = d.deflate(buf)
+      bos.write(buf, 0, n)
+    }
+    val crc = new java.util.zip.CRC32()
+    crc.update(bytes)
+    def le32(v: Long): Unit = {
+      bos.write((v & 0xff).toInt); bos.write(((v >> 8) & 0xff).toInt)
+      bos.write(((v >> 16) & 0xff).toInt); bos.write(((v >> 24) & 0xff).toInt)
+    }
+    le32(crc.getValue)
+    le32(bytes.length.toLong)
     bos.toByteArray
   }
 

@@ -101,13 +101,27 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Per-token 64-bit hash: md5 digest bytes 8..16 little-endian — the
+    * exact bit pattern of DuckDB's `md5_number_lower`, which is what lets
+    * the driver's oracle recompute simhashes in SQL. (Any good 64-bit
+    * hash works for simhash itself; this one is cross-engine computable.)
+    */
+  def tokenHash64(tok: String): Long = {
+    val d = graft.core.Signature.md5(
+      tok.getBytes(java.nio.charset.StandardCharsets.UTF_8), tok)
+    var h = 0L
+    var i = 15
+    while (i >= 8) { h = (h << 8) | (d(i) & 0xffL); i -= 1 }
+    h
+  }
+
   /** 64-bit SimHash of a token multiset: weighted sign-sum of token-hash
     * bits. Near-identical texts differ in few bits.
     */
   def simHash(text: String): Long = {
     val acc = new Array[Int](64)
     text.split("\\s+").filter(_.nonEmpty).foreach { tok =>
-      val h = XxHash64.hashUtf8(tok, 5L)
+      val h = tokenHash64(tok)
       var i = 0
       while (i < 64) {
         if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
@@ -163,7 +177,22 @@ object Dedup {
         "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
         "round(len(list_intersect(a.s, b.s)) / " +
         "len(list_distinct(list_concat(a.s, b.s)))::double, 4) AS jaccard " +
-        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id) WHERE jaccard >= 0.5"))
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id) WHERE jaccard >= 0.5"),
+    // brute-force hamming pairs: 4 bands of 16 bits guarantee recall 1.0
+    // for hamming <= 3 (pigeonhole), so the banded Spark output equals
+    // the all-pairs filter; simhash recomputed in SQL via
+    // md5_number_lower (the token hash is that exact bit pattern)
+    "q_simhash_pairs" ->
+      ("WITH th AS (SELECT doc_id, md5_number_lower(tok) AS h FROM (" +
+        "SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok FROM documents)), " +
+        "bits AS (SELECT doc_id, i, CASE WHEN 2 * sum(((h >> i) & 1)::BIGINT) > count(*) " +
+        "THEN (1::UBIGINT << i) ELSE 0::UBIGINT END AS b " +
+        "FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS i) bitsrc GROUP BY doc_id, i), " +
+        "sh AS (SELECT doc_id, bit_or(b) AS sh FROM bits GROUP BY doc_id) " +
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming " +
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+        "WHERE bit_count(xor(a.sh, b.sh)) <= 3"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_minhash_pairs" -> ((s, d) =>

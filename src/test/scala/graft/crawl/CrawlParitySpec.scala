@@ -37,8 +37,7 @@ class CrawlParitySpec extends AnyFunSuite {
 
   test("URL-seen set parity with the simulator oracle") {
     val pipeline = new CrawlPipeline(spark, root, webCfg, numBuckets = 8)
-    val frontierPath = pipeline.log.lastOf("updatedb").get.frontierPath
-    val sparkSeen = pipeline.readFrontier(frontierPath)
+    val sparkSeen = pipeline.frontierState()
       .select("url").as[String].collect().toSet
     val simSeen = sim.seenSet
     val missing = simSeen.diff(sparkSeen)
@@ -69,8 +68,7 @@ class CrawlParitySpec extends AnyFunSuite {
 
   test("frontier schedule state parity (status/fetchTime/retries/score)") {
     val pipeline = new CrawlPipeline(spark, root, webCfg, numBuckets = 8)
-    val frontierPath = pipeline.log.lastOf("updatedb").get.frontierPath
-    val sparkRows = pipeline.readFrontier(frontierPath)
+    val sparkRows = pipeline.frontierState()
       .collect().map(r => r.url ->
         (r.status, r.fetchTime, r.retries, r.distance, r.score)).toMap
     sim.frontier.foreach { case (url, r) =>
@@ -163,8 +161,7 @@ class CrawlParitySpec extends AnyFunSuite {
     p.runBatches(3, 40, 6)
     val s = new Simulator(cfg, configs = cfgs)
     s.runBatches(3, 40, 6)
-    val frontierPath = p.log.lastOf("updatedb").get.frontierPath
-    val sparkRows = p.readFrontier(frontierPath).collect()
+    val sparkRows = p.frontierState().collect()
       .map(r => r.url -> (r.status, r.fetchTime, r.score, r.fetchInterval))
       .toMap
     assert(sparkRows.keySet === s.seenSet)
@@ -193,8 +190,7 @@ class CrawlParitySpec extends AnyFunSuite {
     // oracle: uninterrupted 2-batch run
     val s = new Simulator(cfg)
     s.runBatches(2, 30, 5)
-    val frontierPath = p2.log.lastOf("updatedb").get.frontierPath
-    val seen = p2.readFrontier(frontierPath).select("url").as[String]
+    val seen = p2.frontierState().select("url").as[String]
       .collect().toSet
     assert(seen === s.seenSet)
     // commit log recorded per-partition lineage + metrics for every stage
@@ -218,7 +214,7 @@ class CrawlParitySpec extends AnyFunSuite {
     p.runBatches(3, 50, 8)
     val s = new Simulator(cfg, configs = cfgs)
     s.runBatches(3, 50, 8)
-    val rows = p.readFrontier(p.log.lastOf("updatedb").get.frontierPath)
+    val rows = p.frontierState()
       .collect()
     assert(rows.map(_.url).toSet === s.seenSet)
     // rewrite bit: no /private/ URL of host 0 ever entered the frontier
@@ -247,7 +243,7 @@ class CrawlParitySpec extends AnyFunSuite {
     p.runBatches(4, 40, 8)
     val s = new Simulator(cfg, scheduleCfg = sched)
     s.runBatches(4, 40, 8)
-    val rows = p.readFrontier(p.log.lastOf("updatedb").get.frontierPath)
+    val rows = p.frontierState()
       .collect().map(r => r.url ->
         (r.status, r.fetchTime, r.fetchInterval, r.retries)).toMap
     assert(rows.keySet === s.seenSet)
@@ -260,6 +256,46 @@ class CrawlParitySpec extends AnyFunSuite {
       graft.core.CrawlStatus.NotModified))
   }
 
+  test("MoR delta chain + compaction: state identical to per-batch snapshots") {
+    // compactEvery=2 over 4 batches exercises delta-commit, compacting
+    // merge, and the view resolution (base ∖ delta-keys ∪ latest delta)
+    val cfg = webCfg.copy(numHosts = 5, pagesPerHost = 12)
+    def run(every: Int): (Set[(String, Int, Long, Float, Int)], Int) = {
+      val dir = Files.createTempDirectory(s"crawl-mor-$every").toString
+      val p = new CrawlPipeline(spark, dir, cfg, numBuckets = 4,
+        compactEvery = every)
+      p.runBatches(4, 40, 8)
+      val deltaCommits = p.log.commits()
+        .count(c => c.stage == "updatedb" && c.deltas.nonEmpty)
+      (p.frontierState().collect()
+        .map(r => (r.url, r.status, r.fetchTime, r.score, r.distance)).toSet,
+        deltaCommits)
+    }
+    val (morState, morDeltas) = run(every = 2)
+    val (fullState, fullDeltas) = run(every = 1) // compact every batch
+    assert(morState === fullState)
+    assert(morDeltas > 0, "delta path never exercised")
+    assert(fullDeltas === 0, "every=1 must always compact")
+    // and the simulator agrees
+    val s = new Simulator(cfg)
+    s.runBatches(4, 40, 8)
+    assert(morState.map(_._1) === s.seenSet)
+    // explicit compaction folds the chain into one full snapshot
+    val dir = Files.createTempDirectory("crawl-mor-compact").toString
+    val p = new CrawlPipeline(spark, dir, cfg, numBuckets = 4,
+      compactEvery = 99)
+    p.runBatches(3, 40, 8)
+    assert(p.lastState().get.deltas.nonEmpty)
+    val before = p.frontierState().collect()
+      .map(r => (r.url, r.status, r.fetchTime)).toSet
+    p.compact(now = 1700000000000L + 99 * 3600000L)
+    assert(p.lastState().get.deltas.isEmpty)
+    assert(p.lastState().get.stage === "compact")
+    val after = p.frontierState().collect()
+      .map(r => (r.url, r.status, r.fetchTime)).toSet
+    assert(after === before)
+  }
+
   test("bloom seen-filter changes nothing but the plan") {
     val cfg = webCfg.copy(numHosts = 5, pagesPerHost = 12)
     def run(bloom: Boolean): Set[(String, Int, Long, Float)] = {
@@ -267,7 +303,7 @@ class CrawlParitySpec extends AnyFunSuite {
       val p = new CrawlPipeline(spark, dir, cfg, numBuckets = 4,
         useBloomSeenFilter = bloom)
       p.runBatches(2, 40, 8)
-      p.readFrontier(p.log.lastOf("updatedb").get.frontierPath)
+      p.frontierState()
         .collect().map(r => (r.url, r.status, r.fetchTime, r.score)).toSet
     }
     assert(run(bloom = true) === run(bloom = false))

@@ -97,7 +97,7 @@ class HostDbSpec extends AnyFunSuite {
       p.runBatches(2, 40, 20)
       val s = new Simulator(cfg, fetchTimelimitMs = tl)
       s.runBatches(2, 40, 20)
-      val rows = p.readFrontier(p.log.lastOf("updatedb").get.frontierPath)
+      val rows = p.frontierState()
         .collect()
       assert(rows.map(_.url).toSet === s.seenSet, s"seen-set parity tl=$tl")
       s.frontier.foreach { case (url, r) =>
