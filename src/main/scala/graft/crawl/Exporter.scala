@@ -19,10 +19,20 @@ object Exporter {
     * one column per field key — dynamic schema like the reference's
     * TableMeta ALTER flow.
     */
+  /** Distinct field names become columns — bounded by construction (they
+    * are extraction-rule outputs, not data), but guard against a corrupt
+    * input exploding the driver collect / the output schema.
+    */
+  val MaxWidenColumns = 10000
+
   def widen(segments: DataFrame, idCol: String, mapCol: String): DataFrame = {
     val keys = segments
       .select(explode(map_keys(col(mapCol))).as("k"))
-      .distinct().collect().map(_.getString(0)).sorted
+      .distinct().limit(MaxWidenColumns + 1)
+      .collect().map(_.getString(0)).sorted
+    require(keys.length <= MaxWidenColumns,
+      s"widen: more than $MaxWidenColumns distinct field names — " +
+        "field names look like data, not extraction-rule outputs")
     segments.select(
       col(idCol) +: keys.map(k => col(mapCol).getItem(k).as(k)): _*)
   }

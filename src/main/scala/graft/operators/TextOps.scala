@@ -102,7 +102,30 @@ object TextOps {
       .orderBy(col("cnt").desc, col("word").asc)
       .limit(20)
 
-  // --- language ID (n-gram heuristic; no SQL oracle — spec-tested) ---
+  // --- A5: positive/negative word-list sentiment scoring ---
+
+  private val posWords = Seq("fast", "small", "value", "smart", "best")
+  private val negWords = Seq("slow", "large", "waste", "broken", "worst")
+
+  /** A5 in full (reference WordFreqAttrCalc 正负面 scoring,
+    * parse/element/wordfre/WordFreqAttrCalc.java:13-47: tokenize, count
+    * hits against positive/negative word lists, emit a score): pos/neg
+    * hit counts and the normalized sentiment (pos-neg)/tokens. Pure
+    * Column expressions — codegen'd, oracle-checkable.
+    */
+  def sentimentScore(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokensCol(col("text"))
+    val pos = size(filter(toks, x => x.isInCollection(posWords)))
+    val neg = size(filter(toks, x => x.isInCollection(negWords)))
+    docs(s, dir).select(
+      col("doc_id"),
+      pos.as("n_pos"),
+      neg.as("n_neg"),
+      round((pos - neg) / greatest(size(toks), lit(1)).cast("double"), 4)
+        .as("sentiment"))
+  }
+
+  // --- language ID (n-gram heuristic) ---
 
   /** Tiny trigram-profile language identifier. Deterministic, pure; the
     * profiles are hand-built from characteristic function words. Returns
@@ -210,6 +233,12 @@ object TextOps {
     "q_word_freq" ->
       ("SELECT word, count(*) AS cnt FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word " +
         "FROM documents) GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 20"),
+    "q_sentiment" ->
+      ("SELECT doc_id, n_pos, n_neg, round((n_pos - n_neg) / greatest(n_toks, 1)::double, 4) AS sentiment FROM (" +
+        "SELECT doc_id, " +
+        "len(list_filter(string_split(text, ' '), x -> x IN ('fast','small','value','smart','best'))) AS n_pos, " +
+        "len(list_filter(string_split(text, ' '), x -> x IN ('slow','large','waste','broken','worst'))) AS n_neg, " +
+        "len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_toks FROM documents)"),
     "q_lang_id" ->
       ("SELECT doc_id, lang, CASE " +
         "WHEN length(text) > 0 AND len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) * 5 >= length(text) THEN 'zh' " +
@@ -226,6 +255,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_token_count" -> tokenCount _,
+    "q_sentiment" -> sentimentScore _,
     "q_quality_score" -> qualityScore _,
     "q_jaccard_pairs" -> jaccardPairs _,
     "q_exact_dedup" -> exactDedup _,

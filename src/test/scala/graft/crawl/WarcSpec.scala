@@ -1,0 +1,92 @@
+package graft.crawl
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase.spark
+
+/** S9 WARC source/sink gates: byte-level render/parse round-trip, and the
+  * archive-ingestion path — a crawl batch exported to .warc files, read
+  * back as FetchResult rows, and parsed by the SAME parse stage with
+  * identical outlinks/signature inputs.
+  */
+class WarcSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  test("record render/parse round-trips bytes, headers, truncation info") {
+    val body = Array.tabulate(512)(i => (i * 31).toByte)
+    val rec = Warc.renderRecord("http://h.example/x?a=1", "image/png",
+      Map("content-length" -> "512", "x-extra" -> "v"), body,
+      "2024-01-01T00:00:00Z")
+    val parsed = Warc.parseRecords(rec)
+    assert(parsed.size === 1)
+    val r = parsed.head
+    assert(r.url === "http://h.example/x?a=1")
+    assert(r.contentType === "image/png")
+    assert(r.httpHeaders("x-extra") === "v")
+    assert(r.body.sameElements(body))
+    // multiple concatenated records
+    val two = rec ++ Warc.renderRecord("http://h.example/y", "text/html",
+      Map("content-length" -> "3"), "abc".getBytes, "2024-01-01T00:00:00Z")
+    assert(Warc.parseRecords(two).map(_.url) ===
+      Seq("http://h.example/x?a=1", "http://h.example/y"))
+  }
+
+  test("crawl batch -> warc -> read -> parse matches the pipeline's parse") {
+    val dir = Files.createTempDirectory("warc-crawl").toString
+    val cfg = WebConfig(numHosts = 4, pagesPerHost = 12)
+    val p = new CrawlPipeline(spark, dir, cfg, numBuckets = 4)
+    p.runBatches(2, 40, 8)
+
+    val fetched = spark.read.parquet(s"$dir/batches/b2/fetched")
+      .as[FetchResult]
+    val warcDir = Files.createTempDirectory("warc-out").toString
+    Warc.write(fetched, warcDir)
+    assert(new java.io.File(warcDir).listFiles()
+      .exists(_.getName.endsWith(".warc")))
+
+    val back = Warc.read(spark, warcDir, "warc1")
+    // every archivable (Success + content) row round-trips; the parse
+    // stage extracts the identical outlink sets from archived bytes
+    val origParsed = spark.read.parquet(s"$dir/batches/b2/parsed")
+      .as[ParsedPage].collect()
+      .filter(r => r.outcome == graft.core.FetchOutcome.Success)
+      .map(r => r.url -> r.outlinks).toMap
+    val warcParsed = p.parse(back, "warc1", 0L).collect()
+      .map(r => r.url -> r.outlinks).toMap
+    assert(warcParsed.keySet === origParsed.keySet)
+    origParsed.foreach { case (url, links) =>
+      assert(warcParsed(url) === links, s"outlinks differ for $url")
+    }
+    // truncated transfers stay truncated through the archive
+    val truncOrig = spark.read.parquet(s"$dir/batches/b2/parsed")
+      .filter(org.apache.spark.sql.functions.col("parseStatus") ===
+        Parse.StatusTruncated)
+      .select("url").as[String].collect().toSet
+    if (truncOrig.nonEmpty) {
+      val truncWarc = spark.read
+        .parquet(s"$dir/batches/warc1/parsed")
+        .filter(org.apache.spark.sql.functions.col("parseStatus") ===
+          Parse.StatusTruncated)
+        .select("url").as[String].collect().toSet
+      assert(truncWarc === truncOrig)
+    }
+  }
+
+  test("O4: salted host buckets spread hosts uniformly (fetch randomization)") {
+    // the reference randomizes mapper keys so one huge host cannot
+    // monopolize reducers (FetcherJob.java:82-95); our analog is the
+    // salted host-hash bucket. Gate: 3000 hosts over 64 buckets land
+    // within 3x of uniform occupancy, and a host's bucket is stable.
+    val counts = new Array[Int](64)
+    (0 until 3000).foreach { i =>
+      counts(Keys.bucketOf(SyntheticWeb.hostName(i), 64)) += 1
+    }
+    val expected = 3000.0 / 64
+    assert(counts.min > 0, "empty bucket")
+    assert(counts.max < expected * 3, s"skewed buckets: max=${counts.max}")
+    assert(Keys.bucketOf("www.test-1.example", 64) ===
+      Keys.bucketOf("www.test-1.example", 64))
+  }
+}
