@@ -30,7 +30,10 @@ object SparkEntry {
       .toString
     val cfg = graft.crawl.WebConfig(numHosts = 8, pagesPerHost = 20,
       fanout = 4, imagesPerPage = 2, maxDelayMs = 100, crawlDelayMs = 25L)
-    val p = new graft.crawl.CrawlPipeline(spark, root, cfg, numBuckets = 8)
+    // compactEvery=1: at this toy scale the MoR delta path is pure
+    // per-job overhead (the query is a smoke surface, not the bench)
+    val p = new graft.crawl.CrawlPipeline(spark, root, cfg, numBuckets = 8,
+      compactEvery = 1)
     val frontier = p.runBatches(depth = 2, topN = 60, maxPerHost = 10)
     frontier.groupBy(col("status"))
       .agg(count(lit(1)).as("cnt"), round(avg(col("score")), 4).as("avg_score"),

@@ -86,18 +86,22 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b") // a pair may collide in many bands
 
-    // verify: re-join the shingle sets once per candidate pair
+    // verify: re-join the shingle sets once per candidate pair; exact
+    // Jaccard as columnar array ops (codegen'd — the UDF form was the
+    // hot spot at high candidate volume), identical to jaccard() on the
+    // distinct shingle arrays
     val sh = docs(s, dir).select(col("doc_id"),
       shUdf(col("text")).as("sh"))
-    val jac = udf((x: Seq[String], y: Seq[String]) =>
-      jaccard(x.toArray, y.toArray))
     candidates
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
         Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
         Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        round(jac(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+        round(
+          size(array_intersect(col("sh_a"), col("sh_b"))) /
+            size(array_union(col("sh_a"), col("sh_b"))).cast("double"),
+          4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
