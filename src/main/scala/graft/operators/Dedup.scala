@@ -65,8 +65,8 @@ object Dedup {
     * shingle sets are joined back exactly once for the verify stage.
     */
   def minHashPairs(s: SparkSession, dir: String, numHashes: Int = 32,
-      bands: Int = 8, shingleLen: Int = 3, threshold: Double = 0.5)
-      : DataFrame = {
+      bands: Int = 8, shingleLen: Int = 3, threshold: Double = 0.5,
+      minBandMatches: Int = 1): DataFrame = {
     val rowsPerBand = numHashes / bands
     val sigUdf = udf((t: String) => minHashSignature(t, numHashes, shingleLen))
     val shUdf = udf((t: String) => shingles(t, shingleLen).distinct)
@@ -81,10 +81,17 @@ object Dedup {
 
     val a = banded.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
     val b = banded.select(col("band"), col("bkey"), col("doc_id").as("doc_b"))
+    // a pair may collide in many bands: the per-pair count both dedups
+    // and (minBandMatches > 1) gates on ESTIMATED similarity — with
+    // single-hash bands, requiring >= 2 of 32 matches keeps a j>=0.5
+    // pair with P(miss) ~ 33*2^-32 while pruning the singleton-collision
+    // mass that would otherwise dominate the verify join
     val candidates = a.join(b, Seq("band", "bkey"))
       .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("matches"))
+      .filter(col("matches") >= minBandMatches)
       .select(col("doc_a"), col("doc_b"))
-      .dropDuplicates("doc_a", "doc_b") // a pair may collide in many bands
 
     // verify: re-join the shingle sets once per candidate pair; exact
     // Jaccard as columnar array ops (codegen'd — the UDF form was the
@@ -200,6 +207,6 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_minhash_pairs" -> ((s, d) =>
-      minHashPairs(s, d, numHashes = 32, bands = 32)),
+      minHashPairs(s, d, numHashes = 32, bands = 32, minBandMatches = 2)),
     "q_simhash_pairs" -> ((s, d) => simHashPairs(s, d)))
 }
