@@ -26,18 +26,33 @@ object SparkEntry {
     */
   def crawlLoop(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val root = java.nio.file.Files.createTempDirectory("graft-crawl-q")
-      .toString
-    val cfg = graft.crawl.WebConfig(numHosts = 8, pagesPerHost = 20,
-      fanout = 4, imagesPerPage = 2, maxDelayMs = 100, crawlDelayMs = 25L)
-    // compactEvery=1: at this toy scale the MoR delta path is pure
-    // per-job overhead (the query is a smoke surface, not the bench)
-    val p = new graft.crawl.CrawlPipeline(spark, root, cfg, numBuckets = 8,
-      compactEvery = 1)
-    val frontier = p.runBatches(depth = 2, topN = 60, maxPerHost = 10)
-    frontier.groupBy(col("status"))
-      .agg(count(lit(1)).as("cnt"), round(avg(col("score")), 4).as("avg_score"),
-        max(col("distance")).as("max_distance"))
+    val rootPath = java.nio.file.Files.createTempDirectory("graft-crawl-q")
+    val root = rootPath.toString
+    try {
+      val cfg = graft.crawl.WebConfig(numHosts = 8, pagesPerHost = 20,
+        fanout = 4, imagesPerPage = 2, maxDelayMs = 100, crawlDelayMs = 25L)
+      // compactEvery=1: at this toy scale the MoR delta path is pure
+      // per-job overhead (the query is a smoke surface, not the bench)
+      val p = new graft.crawl.CrawlPipeline(spark, root, cfg, numBuckets = 8,
+        compactEvery = 1)
+      val frontier = p.runBatches(depth = 2, topN = 60, maxPerHost = 10)
+      val agg = frontier.groupBy(col("status"))
+        .agg(count(lit(1)).as("cnt"),
+          round(avg(col("score")), 4).as("avg_score"),
+          max(col("distance")).as("max_distance"))
+      // materialize the (tiny) result before the crawl tree is deleted —
+      // the returned frame must not depend on the temp parquet
+      val rows = agg.collect().toSeq
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), agg.schema)
+    } finally {
+      // leftover run dirs once filled this box's root disk to 90% and
+      // silently depressed benchmarks — never leak the crawl tree
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(rootPath).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -80,11 +80,22 @@ final class CrawlPipeline(
   /** Seed injection (reference: crawl/InjectorJob.java:111-188 — normalize,
     * filter, build UNFETCHED rows, upsert). Seed lines support the
     * reference's `url \t nutch.score=F \t nutch.fetchInterval=I` metadata.
+    *
+    * Driver-side convenience wrapper over the distributed overload — for
+    * small hand-lists and tests only; a production seed table (the
+    * reference reads millions of seed URLs from an RDBMS) goes through
+    * `inject(Dataset[String], now)` and never lands on the driver.
     */
-  def inject(seedLines: Seq[String], now: Long): Dataset[CrawlRow] = {
+  def inject(seedLines: Seq[String], now: Long): Dataset[CrawlRow] =
+    inject(spark.createDataset(seedLines), now)
+
+  /** Distributed seed injection: the seed lines stay a Dataset end-to-end
+    * (JdbcSource.seeds / spark.read.textFile feed this directly).
+    */
+  def inject(seedLines: Dataset[String], now: Long): Dataset[CrawlRow] = {
     val nb = numBuckets
     val defaultInterval = scheduleCfg.defaultIntervalSec
-    val rows = spark.createDataset(seedLines)
+    val rows = seedLines
       .flatMap { line =>
         val parts = line.split("\t")
         Urls.canonicalize(parts(0)).filter(UrlFilters.accepts).map { u =>
@@ -294,17 +305,26 @@ final class CrawlPipeline(
     // before collection so the broadcast is fetchlist-bounded (<= topN
     // keys), never |all hosts|. Unseen keys (batch 1, new hosts) fall
     // back to the config trie — same values by construction.
-    val hostSettings: Map[String, (Long, Int)] = log.lastOf("hostdb") match {
-      case Some(c) =>
-        val keys = fetchlist
-          .map(r => QueueMode.keyOf(mode, r.host)).distinct().toDF("host")
-        spark.read.parquet(c.frontierPath)
-          .join(broadcast(keys), Seq("host"))
-          .select(col("host"), col("crawlDelayMs"), col("maxConcurrent"))
-          .as[(String, Long, Int)].collect()
-          .map(r => r._1 -> (r._2, r._3)).toMap
-      case None => Map.empty
-    }
+    //
+    // The hostdb is keyed by HOST, so the lookup applies in byHost queue
+    // mode ONLY: a byDomain/byIP queue spans several hostdb rows whose
+    // settings the scheduler contract (and the simulator oracle) resolves
+    // from the config trie at the QUEUE key, not from any per-host
+    // aggregate — so those modes skip the hostdb read explicitly instead
+    // of silently never matching on it.
+    val hostSettings: Map[String, (Long, Int)] =
+      if (mode != QueueMode.ByHost) Map.empty
+      else log.lastOf("hostdb") match {
+        case Some(c) =>
+          val keys = fetchlist
+            .map(r => QueueMode.keyOf(mode, r.host)).distinct().toDF("host")
+          spark.read.parquet(c.frontierPath)
+            .join(broadcast(keys), Seq("host"))
+            .select(col("host"), col("crawlDelayMs"), col("maxConcurrent"))
+            .as[(String, Long, Int)].collect()
+            .map(r => r._1 -> (r._2, r._3)).toMap
+        case None => Map.empty
+      }
     val hsBc = spark.sparkContext.broadcast(hostSettings)
 
     // groupByKey inserts one hash exchange on the queue key — the
@@ -443,8 +463,8 @@ final class CrawlPipeline(
     * the fake web: bytes, dimensions, and phash all come from the fetch
     * output, as they must in a real crawl.
     */
-  def payloads(fetched: Dataset[FetchResult], batchId: String)
-      : Dataset[PayloadRow] = {
+  def payloads(fetched: Dataset[FetchResult], batchId: String,
+      now: Long): Dataset[PayloadRow] = {
     val out = fetched
       .filter(r => r.outcome == FetchOutcome.Success &&
         r.contentType != null && r.contentType.startsWith("image/") &&
@@ -460,7 +480,7 @@ final class CrawlPipeline(
       .option("compression", "uncompressed").parquet(path) // encoded bytes
     val res = spark.read.parquet(path).as[PayloadRow]
     commitStage(log.nextSeq(), batchId, "payload", path,
-      Map("all" -> res.count()), 0L)
+      Map("all" -> res.count()), now)
     res
   }
 
@@ -888,7 +908,7 @@ final class CrawlPipeline(
               spark.read.parquet(s"$root/batches/$batchId/parsed")
                 .as[ParsedPage]
             else parse(fetched, batchId, now)
-          if (!committed((batchId, "payload"))) payloads(fetched, batchId)
+          if (!committed((batchId, "payload"))) payloads(fetched, batchId, now)
           val next = updatedb(frontier, parsedRows, batchId, now)
           next.persist(
             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -77,23 +77,46 @@ object Exporter {
     * new RDBMS columns, existing rows read NULL for them). Creates the
     * table on first export.
     */
+  private val SafeIdent = "^[A-Za-z_][A-Za-z0-9_]*$".r
+
+  /** Quote an identifier for DDL with the driver's identifier-quote
+    * string (doubling embedded quotes); identifiers are additionally
+    * validated because schema names here can originate from DATA (widen()
+    * field keys) — a reserved word or special character must never splice
+    * into the DDL unquoted.
+    */
+  private def quoteIdent(quote: String, name: String): String = {
+    require(!name.contains("\u0000"), "NUL byte in identifier")
+    val q = Option(quote).map(_.trim).filter(_.nonEmpty)
+    q match {
+      case Some(qs) => qs + name.replace(qs, qs + qs) + qs
+      case None =>
+        require(SafeIdent.matches(name),
+          s"backend has no identifier quoting and '$name' is not a safe " +
+            "bare identifier")
+        name
+    }
+  }
+
   def exportJdbc(df: DataFrame, jdbcUrl: String, table: String,
       props: java.util.Properties = new java.util.Properties): Unit = {
     val conn = java.sql.DriverManager.getConnection(jdbcUrl, props)
     try {
+      val qs = conn.getMetaData.getIdentifierQuoteString
+      def qi(n: String) = quoteIdent(qs, n)
       val rs = conn.getMetaData.getColumns(null, null, table, null)
       val existing = scala.collection.mutable.Set[String]()
       while (rs.next()) existing += rs.getString("COLUMN_NAME").toLowerCase
       val st = conn.createStatement()
       if (existing.isEmpty)
-        st.execute(s"CREATE TABLE $table (" + df.schema.fields
-          .map(f => s"${f.name} ${jdbcTypeOf(f.dataType)}")
+        st.execute(s"CREATE TABLE ${qi(table)} (" + df.schema.fields
+          .map(f => s"${qi(f.name)} ${jdbcTypeOf(f.dataType)}")
           .mkString(", ") + ")")
       else
         df.schema.fields
           .filterNot(f => existing(f.name.toLowerCase))
           .foreach { f =>
-            st.execute(s"ALTER TABLE $table ADD COLUMN ${f.name} " +
+            st.execute(s"ALTER TABLE ${qi(table)} ADD COLUMN ${qi(f.name)} " +
               jdbcTypeOf(f.dataType))
           }
       st.close()

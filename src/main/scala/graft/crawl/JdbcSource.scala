@@ -18,12 +18,16 @@ import graft.core.{ConfigTrie, FilterRule, SiteConfig}
 object JdbcSource {
 
   /** Seed lines (`url \t nutch.score=F \t nutch.fetchInterval=I`) from a
-    * table (url VARCHAR, score DOUBLE, interval_sec INT). Returned in the
-    * inject() seed-line format so the JDBC and text seed sources are
-    * interchangeable.
+    * table (url VARCHAR, score DOUBLE, interval_sec INT), as a DISTRIBUTED
+    * Dataset in the inject() seed-line format — the JDBC and text seed
+    * sources are interchangeable, and a production-scale seed table never
+    * lands on the driver (feed this to `inject(Dataset[String], now)`).
+    * Partitioned reads come free via the usual `spark.read.jdbc`
+    * partitioning options in `props`.
     */
-  def seedLines(spark: SparkSession, jdbcUrl: String, table: String,
-      props: java.util.Properties = new java.util.Properties): Seq[String] = {
+  def seeds(spark: SparkSession, jdbcUrl: String, table: String,
+      props: java.util.Properties = new java.util.Properties)
+      : org.apache.spark.sql.Dataset[String] = {
     import spark.implicits._
     spark.read.jdbc(jdbcUrl, table, props)
       // integer widths vary by backend (DuckDB surfaces INT as BIGINT
@@ -31,12 +35,15 @@ object JdbcSource {
       .selectExpr("url", "CAST(score AS DOUBLE) AS score",
         "CAST(interval_sec AS INT) AS interval_sec")
       .as[(String, Double, Int)]
-      .collect()
-      .toSeq
       .map { case (u, s, i) =>
         s"$u\tnutch.score=${s.toFloat}\tnutch.fetchInterval=$i"
       }
   }
+
+  /** Driver-side convenience form of [[seeds]] — small lists/tests only. */
+  def seedLines(spark: SparkSession, jdbcUrl: String, table: String,
+      props: java.util.Properties = new java.util.Properties): Seq[String] =
+    seeds(spark, jdbcUrl, table, props).collect().toSeq
 
   /** Per-site config trie from a table (prefix VARCHAR, cfg_id INT,
     * crawl_delay_ms BIGINT, max_concurrent INT, max_per_host INT,

@@ -36,8 +36,10 @@ class JdbcSpec extends AnyFunSuite {
       "'-.*/private/.*')")
     st.close(); conn.close()
 
-    val seeds = JdbcSource.seedLines(spark, url, "seeds")
-    assert(seeds.size === 3)
+    // distributed path: seeds stay a Dataset end-to-end (no driver collect)
+    val seeds = JdbcSource.seeds(spark, url, "seeds")
+    assert(seeds.count() === 3)
+    assert(JdbcSource.seedLines(spark, url, "seeds").size === 3) // wrapper
     val trie = JdbcSource.configTrie(spark, url, "site_config")
     val cfg = trie.configOrDefault("http://www.test-1.example/page3.html")
     assert(cfg.cfgId === 5 && cfg.crawlDelayMs === 200L &&

@@ -57,6 +57,40 @@ class OperatorsSpec extends AnyFunSuite {
       s"missed clear dup: ${clear.diff(got).take(5)}")
   }
 
+  test("jaccard banding: candidates bounded on a skewed one-source fixture; " +
+    "output equals brute force on the corpus") {
+    import spark.implicits._
+    // SKEW fixture: one source, pairwise-disjoint vocabularies. Blocking on
+    // `source` alone (the round-2 shape) would make every one of
+    // n*(n-1)/2 = 124750 pairs a candidate; MinHash band keys admit only
+    // hash-accident collisions.
+    val n = 500
+    val fixture = spark.range(n).map { i =>
+      (i, "s0", (0 until 8).map(k => s"w${i}x$k"))
+    }.toDF("doc_id", "source", "toks")
+    val cand = TextOps.jaccardCandidates(fixture, 96, 2).count()
+    assert(cand <= n / 10, s"candidate explosion on disjoint docs: $cand")
+
+    // correctness: banded output == brute-force within-source pairs
+    // (per-pair miss probability at j>=0.2 is <= 1.2e-8 with 2-of-96)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect()
+      .map { case (id, src, t) =>
+        (id, src, t.split(" ").filter(_.nonEmpty).distinct.toSet)
+      }
+    val brute = (for {
+      (ia, sa, ta) <- docs
+      (ib, sb, tb) <- docs if ia < ib && sa == sb
+      j = ta.intersect(tb).size.toDouble / ta.union(tb).size
+      if BigDecimal(j).setScale(4, BigDecimal.RoundingMode.HALF_UP) >= 0.2
+    } yield (ia, ib)).toSet
+    val got = TextOps.jaccardPairs(spark, sfDir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got === brute,
+      s"missed: ${brute.diff(got).take(3)} extra: ${got.diff(brute).take(3)}")
+  }
+
   test("simhash pairs: identical docs collide, reported pairs within hamming") {
     import spark.implicits._
     val pairs = Dedup.simHashPairs(spark, sfDir, maxHamming = 3)
