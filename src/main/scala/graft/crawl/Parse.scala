@@ -132,27 +132,70 @@ object Parse {
       case c => c.toString
     }
 
-  // ----------------------------------------- link extraction (C7-lite)
+  // ----------------------------------------- link extraction (C7)
 
-  private val ARe =
-    "(?is)<a\\s[^>]*href=\"([^\"]*)\"[^>]*>(.*?)</a>".r
-  private val ImgRe =
-    "(?is)<img\\s[^>]*src=\"([^\"]*)\"[^>]*alt=\"([^\"]*)\"[^>]*>".r
+  // tag matchers: the ATTRIBUTE LIST is captured raw and parsed by
+  // parseAttrs — real-web HTML uses single/double/no quotes and any
+  // attribute order (the round-2 fixed-order double-quote regexes silently
+  // dropped such links once WARC ingestion started feeding real archives)
+  private val ARe = "(?is)<a\\b([^>]*)>(.*?)</a>".r
+  private val ImgRe = "(?is)<img\\b([^>]*)>".r
+  private val BaseRe = "(?is)<base\\b([^>]*)>".r
   private val TagRe = "(?s)<[^>]*>".r
+  private val AttrRe =
+    ("(?s)([a-zA-Z][a-zA-Z0-9_:.-]*)\\s*" +
+      "(?:=\\s*(?:\"([^\"]*)\"|'([^']*)'|([^\\s\"'>]+)))?").r
+
+  /** Attributes of a tag body (the text between the tag name and `>`):
+    * double-quoted, single-quoted, unquoted, and valueless forms, any
+    * order, whitespace around `=` tolerated; names lowercased; the FIRST
+    * occurrence of a repeated attribute wins (browser behavior).
+    */
+  private[crawl] def parseAttrs(tagBody: String): Map[String, String] = {
+    val out = scala.collection.mutable.LinkedHashMap[String, String]()
+    AttrRe.findAllMatchIn(tagBody).foreach { m =>
+      val name = m.group(1).toLowerCase
+      val value = Option(m.group(2)).orElse(Option(m.group(3)))
+        .orElse(Option(m.group(4))).getOrElse("")
+      if (!out.contains(name)) out(name) = value
+    }
+    out.toMap
+  }
+
+  /** Effective resolution base of a document: the first `<base href>` if
+    * present (itself resolved against the page URL, per spec), else the
+    * page URL.
+    */
+  private[crawl] def effectiveBase(html: String, pageUrl: String): String =
+    BaseRe.findFirstMatchIn(html)
+      .flatMap(m => parseAttrs(m.group(1)).get("href"))
+      .filter(_.nonEmpty)
+      .flatMap(h => Urls.resolveOutlink(pageUrl, decodeEntities(h)))
+      .getOrElse(pageUrl)
 
   /** Outlinks of an HTML document: a[href] with anchor text plus img[src]
     * with alt text (the image-caption channel — a payload's caption is its
-    * inlink's alt, the reference's inlinks anchor map). Hrefs are
-    * entity-decoded and resolved against the page URL; per-page dedup (D2,
-    * reference ParseUtil.java:362-367) keeps the FIRST anchor per target.
+    * inlink's alt, the reference's inlinks anchor map). Attribute scanning
+    * is quote/order tolerant (parseAttrs), `<base href>` is honored, hrefs
+    * are entity-decoded and resolved against the effective base; per-page
+    * dedup (D2, reference ParseUtil.java:362-367) keeps the FIRST anchor
+    * per target. (Known scanner limit vs a full DOM: a literal `>` inside
+    * a quoted attribute value ends the tag early.)
     */
   def extractLinks(html: String, baseUrl: String): Seq[(String, String)] = {
+    val base = effectiveBase(html, baseUrl)
     val found =
-      ARe.findAllMatchIn(html).map(m => (m.group(1), stripTags(m.group(2)))) ++
-        ImgRe.findAllMatchIn(html).map(m => (m.group(1), m.group(2)))
+      ARe.findAllMatchIn(html).flatMap { m =>
+        parseAttrs(m.group(1)).get("href")
+          .map(h => (h, stripTags(m.group(2))))
+      } ++
+        ImgRe.findAllMatchIn(html).flatMap { m =>
+          val attrs = parseAttrs(m.group(1))
+          attrs.get("src").map(s => (s, attrs.getOrElse("alt", "")))
+        }
     val seen = scala.collection.mutable.LinkedHashMap[String, String]()
     found.foreach { case (rawHref, rawAnchor) =>
-      Urls.resolveOutlink(baseUrl, decodeEntities(rawHref)).foreach { u =>
+      Urls.resolveOutlink(base, decodeEntities(rawHref)).foreach { u =>
         if (!seen.contains(u)) seen(u) = decodeEntities(rawAnchor).trim
       }
     }

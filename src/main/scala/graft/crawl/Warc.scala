@@ -70,8 +70,19 @@ object Warc {
     -1
   }
 
-  /** Parse all response records of one WARC file's bytes. */
+  /** Parse all response records of one WARC file's bytes.
+    *
+    * Robust on archives we didn't write: a malformed WARC Content-Length
+    * aborts the scan (record boundaries are unknowable past it); a
+    * response whose HTTP head has no CRLFCRLF terminator inside the block,
+    * or a block that overruns the file, is SKIPPED and the scan continues
+    * at the declared boundary. Gzipped archives (.warc.gz) fail loudly —
+    * the read path decompresses by extension before this runs.
+    */
   def parseRecords(bytes: Array[Byte]): Seq[WarcRecord] = {
+    require(bytes.length < 2 || bytes(0) != 0x1f.toByte ||
+      bytes(1) != 0x8b.toByte,
+      "gzipped WARC bytes — decompress (.warc.gz) before parseRecords")
     val sep = (CRLF + CRLF).getBytes(StandardCharsets.US_ASCII)
     val out = scala.collection.mutable.ArrayBuffer[WarcRecord]()
     var pos = 0
@@ -87,29 +98,34 @@ object Warc {
           case _ => None
         }
       }.toMap
-      val blockLen = fields.getOrElse("Content-Length", "0").toInt
+      val blockLen = fields.get("Content-Length")
+        .flatMap(_.trim.toIntOption).getOrElse(-1)
+      if (blockLen < 0) return out.toSeq // boundary unknowable
       val blockStart = headEnd + sep.length
-      if (fields.get("WARC-Type").contains("response")) {
+      val blockEnd = blockStart + blockLen
+      if (fields.get("WARC-Type").contains("response") &&
+          blockEnd <= bytes.length) {
         val url = fields.getOrElse("WARC-Target-URI", "")
         // split the HTTP response: headers end at the first CRLFCRLF
+        // WITHIN the record block (a terminator-less head skips the record)
         val httpEnd = indexOfSeq(bytes, sep, blockStart)
-        val httpHead = new String(bytes, blockStart, httpEnd - blockStart,
-          StandardCharsets.US_ASCII)
-        val httpHeaders = httpHead.split(CRLF).drop(1).flatMap { line =>
-          line.split(": ", 2) match {
-            case Array(k, v) => Some(k.toLowerCase -> v)
-            case _ => None
-          }
-        }.toMap
-        val bodyStart = httpEnd + sep.length
-        val bodyLen = blockStart + blockLen - bodyStart
-        val body = java.util.Arrays.copyOfRange(bytes, bodyStart,
-          bodyStart + bodyLen)
-        out += WarcRecord(url,
-          httpHeaders.getOrElse("content-type", "application/octet-stream"),
-          httpHeaders, body)
+        if (httpEnd >= 0 && httpEnd + sep.length <= blockEnd) {
+          val httpHead = new String(bytes, blockStart, httpEnd - blockStart,
+            StandardCharsets.US_ASCII)
+          val httpHeaders = httpHead.split(CRLF).drop(1).flatMap { line =>
+            line.split(": ", 2) match {
+              case Array(k, v) => Some(k.toLowerCase -> v)
+              case _ => None
+            }
+          }.toMap
+          val bodyStart = httpEnd + sep.length
+          val body = java.util.Arrays.copyOfRange(bytes, bodyStart, blockEnd)
+          out += WarcRecord(url,
+            httpHeaders.getOrElse("content-type", "application/octet-stream"),
+            httpHeaders, body)
+        }
       }
-      pos = blockStart + blockLen + sep.length
+      pos = blockEnd + sep.length
     }
     out.toSeq
   }
@@ -122,14 +138,20 @@ object Warc {
       : Dataset[FetchResult] = {
     import spark.implicits._
     spark.read.format("binaryFile").load(path)
-      .select("content").as[Array[Byte]]
-      .flatMap { fileBytes =>
+      .select("path", "content").as[(String, Array[Byte])]
+      .flatMap { case (filePath, raw) =>
+        // whole-file gzip members (.warc.gz) decompress by extension; a
+        // gzip magic without the extension fails loudly in parseRecords
+        // instead of silently parsing zero records
+        val fileBytes =
+          if (filePath.endsWith(".gz")) Parse.gunzip(raw) else raw
         parseRecords(fileBytes).flatMap { r =>
           Urls.canonicalize(r.url).map { u =>
             val host = Urls.host(u)
             FetchResult(XxHash64.hashUtf8(u, 42L), u, host,
               FetchOutcome.Success, r.contentType, null, r.body,
-              r.httpHeaders.get("content-length").map(_.toLong)
+              r.httpHeaders.get("content-length")
+                .flatMap(_.trim.toLongOption)
                 .getOrElse(r.body.length.toLong),
               r.httpHeaders, "", 1.0f, 0, 0L, 0L, batchId)
           }
@@ -139,6 +161,11 @@ object Warc {
 
   /** Write fetched rows as .warc files, one per partition (the archive
     * export sink; only Success rows with content are archivable).
+    *
+    * NOTE: writes through executor-local java.io — on a cluster the files
+    * land on each executor's local disk, so this sink is for LOCAL-mode
+    * export (tests, single-node tooling); a cluster export goes through a
+    * distributed filesystem writer instead.
     */
   def write(fetched: Dataset[FetchResult], outDir: String,
       dateIso: String = "2024-01-01T00:00:00Z"): Unit = {

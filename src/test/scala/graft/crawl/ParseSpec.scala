@@ -55,6 +55,45 @@ class ParseSpec extends AnyFunSuite {
       "http://h.example/img1_0.png" -> "caption 1"))
   }
 
+  test("link extraction survives real-web HTML: quote styles, attribute " +
+    "order, valueless attrs, base href") {
+    // single quotes, no quotes, reordered attributes, attributes between
+    // the tag name and href, valueless attrs, missing alt, <base href>
+    val html =
+      """<html><head><base target=_blank href='/sub/dir/'></head><body>
+        |<a class=nav href='/single.html'>sq</a>
+        |<a href=unquoted.html>uq</a>
+        |<a data-x="1" download href = "spaced.html" rel=nofollow>sp</a>
+        |<A HREF="/UPPER.html">caps tag</A>
+        |<a name="no-href-anchor">not a link</a>
+        |<img alt='reordered alt' class="x" src=img/pic1.png>
+        |<img src='/noalt.png'>
+        |<a
+        |  href="multi.html">multiline</a>
+        |</body></html>""".stripMargin
+    val links = Parse.extractLinks(html, "http://h.example/d/p.html")
+    assert(links === Seq(
+      "http://h.example/single.html" -> "sq",
+      "http://h.example/sub/dir/unquoted.html" -> "uq",
+      "http://h.example/sub/dir/spaced.html" -> "sp",
+      "http://h.example/UPPER.html" -> "caps tag",
+      "http://h.example/sub/dir/multi.html" -> "multiline",
+      "http://h.example/sub/dir/img/pic1.png" -> "reordered alt",
+      "http://h.example/noalt.png" -> ""))
+  }
+
+  test("base href: absolute base wins; relative base resolves against page") {
+    val abs = """<base href="http://cdn.example/assets/"><a href=x.html>x</a>"""
+    assert(Parse.extractLinks(abs, "http://h.example/d/p.html") ===
+      Seq("http://cdn.example/assets/x.html" -> "x"))
+    // no base => page URL is the base
+    val none = """<a href=x.html>x</a>"""
+    assert(Parse.extractLinks(none, "http://h.example/d/p.html") ===
+      Seq("http://h.example/d/x.html" -> "x"))
+    // repeated attribute: first occurrence wins
+    assert(Parse.parseAttrs("href=\"a\" href=\"b\"") === Map("href" -> "a"))
+  }
+
   test("truncated content parses to no outlinks; bad gzip fails safely") {
     val html = "<html><a href=\"/x.html\">x</a></html>".getBytes
     val ok = Parse.page("http://h.example/", "text/html", Map.empty, html,

@@ -74,6 +74,66 @@ class WarcSpec extends AnyFunSuite {
     }
   }
 
+  test("parseRecords is robust on archives we didn't write") {
+    val good = Warc.renderRecord("http://h.example/ok", "text/html",
+      Map("content-length" -> "2"), "ok".getBytes, "2024-01-01T00:00:00Z")
+
+    // malformed WARC Content-Length: scan stops at the broken record
+    val badLen = new String(good, java.nio.charset.StandardCharsets.ISO_8859_1)
+      .replaceFirst("Content-Length: \\d+", "Content-Length: banana")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(Warc.parseRecords(badLen ++ good).isEmpty)
+    assert(Warc.parseRecords(good ++ badLen).map(_.url) ===
+      Seq("http://h.example/ok"))
+
+    // response block whose HTTP head never terminates (no CRLFCRLF inside
+    // the block): record skipped, scan continues at the declared boundary
+    val headless = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: http://h.example/bad\r\nContent-Length: 10\r\n\r\n" +
+      "0123456789\r\n\r\n").getBytes
+    assert(Warc.parseRecords(headless).isEmpty)
+    assert(Warc.parseRecords(headless ++ good).map(_.url) ===
+      Seq("http://h.example/ok"))
+
+    // block overrunning the file: skipped, no exception
+    assert(Warc.parseRecords(good.dropRight(20)).isEmpty)
+
+    // gzip bytes fail loudly instead of parsing to zero records
+    intercept[IllegalArgumentException] {
+      Warc.parseRecords(Parse.gzip(good))
+    }
+  }
+
+  test(".warc.gz reads transparently; real-web HTML extracts full link set") {
+    import spark.implicits._
+    // an archive captured elsewhere: single quotes, unquoted attrs,
+    // reordered attributes, <base href> — nothing the synthetic web emits
+    val html =
+      """<html><head><base href='/r/'></head><body>
+        |<a class=m href='/abs.html'>A</a>
+        |<a href=rel.html>B</a>
+        |<img alt='cap' src=i.png>
+        |</body></html>""".stripMargin
+    val body = html.getBytes
+    val rec = Warc.renderRecord("http://ext.example/page", "text/html",
+      Map("content-length" -> body.length.toString), body,
+      "2024-01-01T00:00:00Z")
+    val dir = Files.createTempDirectory("warc-gz").toString
+    val out = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(s"$dir/a.warc.gz"))
+    out.write(rec); out.close()
+
+    val rows = Warc.read(spark, dir, "wgz").collect()
+    assert(rows.length === 1)
+    val po = Parse.page(rows.head.url, rows.head.contentType,
+      rows.head.headers, rows.head.content, rows.head.contentLength)
+    assert(po.status === Parse.StatusOk)
+    assert(po.outlinks === Map(
+      "http://ext.example/abs.html" -> "A",
+      "http://ext.example/r/rel.html" -> "B",
+      "http://ext.example/r/i.png" -> "cap"))
+  }
+
   test("O4: salted host buckets spread hosts uniformly (fetch randomization)") {
     // the reference randomizes mapper keys so one huge host cannot
     // monopolize reducers (FetcherJob.java:82-95); our analog is the
