@@ -16,11 +16,19 @@ import graft.core.{CrawlStatus, FetchOutcome, Schedule, ScheduleConfig, Urls, Xx
 trait Fetcher extends Serializable {
   def fetch(url: String): RawResponse
   def delayMs(url: String): Long
+
+  /** Robots rules for the AUTHORITY of `url`: the Disallow path prefixes
+    * that apply to this crawler (reference RobotRulesParser.java:414-496;
+    * the fetch stage caches one lookup per host per queue group).
+    */
+  def robotsDisallows(url: String): Seq[String]
 }
 
 final class SyntheticFetcher(cfg: WebConfig) extends Fetcher {
   def fetch(url: String): RawResponse = SyntheticWeb.raw(url, cfg)
   def delayMs(url: String): Long = SyntheticWeb.delayMs(url, cfg)
+  def robotsDisallows(url: String): Seq[String] =
+    SyntheticWeb.robotsDisallows(Urls.host(url))
 }
 
 /** The crawl loop — generate / fetch / parse / updatedb over a
@@ -58,13 +66,17 @@ final class CrawlPipeline(
     configs: graft.core.ConfigTrie = graft.core.ConfigTrie.empty,
     queueMode: String = QueueMode.ByHost,
     fetchTimelimitMs: Long = -1L,
-    compactEvery: Int = 4)
+    compactEvery: Int = 4,
+    fetcherOverride: Fetcher = null)
     extends Serializable {
 
   import spark.implicits._
 
   @transient val log = new CommitLog(root)
-  private val fetcher: Fetcher = new SyntheticFetcher(webCfg)
+  // the protocol extension point: a real HttpFetcher (or any Fetcher)
+  // plugs in here; the deterministic synthetic web is the default
+  private val fetcher: Fetcher =
+    Option(fetcherOverride).getOrElse(new SyntheticFetcher(webCfg))
   // J3: per-site config trie broadcast once, consulted by every stage
   // (reference: GeneratorMapper.java:91, FetcherReducer.java:515-520,
   // DbUpdateReducer.java:111-117 re-match the trie per row)
@@ -356,7 +368,7 @@ final class CrawlPipeline(
           val start = laneAvail(lane)
           val path = Urls.pathOf(r.url)
           val disallows =
-            disallowsOf.getOrElseUpdate(host, SyntheticWeb.robotsDisallows(host))
+            disallowsOf.getOrElseUpdate(host, f.robotsDisallows(r.url))
           if (timelimit > 0 && start - now >= timelimit) {
             // T5 timelimit: queue purged once the virtual budget is spent
             // (reference FetcherReducer.java:739-756 feeder drain); the

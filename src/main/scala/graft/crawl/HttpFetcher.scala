@@ -1,0 +1,237 @@
+package graft.crawl
+
+import java.io.{ByteArrayOutputStream, InputStream}
+import java.net.{HttpURLConnection, SocketTimeoutException, URI}
+
+import graft.core.Urls
+
+/** HTTP protocol configuration (reference lib-http property names,
+  * protocol-httpclient/.../HttpBase.java:60-115):
+  *  - `contentLimit`   = http.content.limit — bytes kept per response; a
+  *    longer body is cut there and surfaces as a TRUNCATED parse (the
+  *    declared Content-Length stays larger), exactly the reference's
+  *    isTruncated path;
+  *  - `connectTimeoutMs`/`readTimeoutMs` = http.timeout — per-socket-op
+  *    stall bounds;
+  *  - `requestBudgetMs` — T6 hung-request watchdog: total wall budget for
+  *    one request (reference FetcherReducer.java:905-909 kills fetches
+  *    that outlive `mapred.task.timeout/2`); a response that trickles
+  *    bytes forever is aborted mid-read;
+  *  - `minHostGapMs` — a REAL-time politeness floor between requests to
+  *    the same host, enforced inside the fetcher (the pipeline's
+  *    virtual-clock lanes already serialize a host's queue; this adds the
+  *    wall-clock gap a live server observes);
+  *  - `acceptGzip` — offer Accept-Encoding: gzip; bytes stay encoded on
+  *    the wire row and the SHARED parse stage decodes them (same split as
+  *    the synthetic protocol layer).
+  */
+final case class HttpConfig(
+    contentLimit: Int = 1 << 20,
+    connectTimeoutMs: Int = 10000,
+    readTimeoutMs: Int = 10000,
+    requestBudgetMs: Long = 30000L,
+    userAgent: String = "graft-crawler/0.1",
+    acceptGzip: Boolean = true,
+    minHostGapMs: Long = 0L)
+
+/** A real HTTP [[Fetcher]] over `HttpURLConnection` (JDK-only, no added
+  * dependencies) — the production implementation of the reference's
+  * `Protocol` extension point (plugin lib-http; HttpBase.java:60-115).
+  *
+  * Semantics:
+  *  - redirects are NOT followed: 301/308 -> RawRedirect(perm=true),
+  *    302/303/307 -> RawRedirect(perm=false) — the crawl loop treats them
+  *    as discoveries (T7) exactly like the synthetic web;
+  *  - 404/410 and other 4xx -> RawNotFound (Gone);
+  *  - 5xx, connect/read timeouts, budget overruns, IO errors ->
+  *    RawServerError (RetryTransient — retried with backoff by updatedb);
+  *  - robots.txt fetched once per authority per executor (concurrent
+  *    LRU-less cache; robots are per-HOST even under byDomain/byIP queue
+  *    modes, matching RobotRulesParser's cache keying).
+  *
+  * The robots and politeness caches live on the companion object — one
+  * per executor JVM, shared by every deserialized closure copy, never
+  * shipped with the task.
+  */
+final class HttpFetcher(cfg: HttpConfig = HttpConfig()) extends Fetcher {
+
+  private def robotsCache = HttpFetcher.robotsCache
+  private def lastHitMs = HttpFetcher.lastHitMs
+
+  /** Virtual-time cost of a request — unknown for a live server, so the
+    * virtual politeness lanes advance by crawlDelay alone.
+    */
+  def delayMs(url: String): Long = 0L
+
+  private def authorityOf(url: String): String = {
+    val u = new URI(url)
+    val port = if (u.getPort == -1) "" else s":${u.getPort}"
+    s"${u.getScheme}://${u.getHost}$port"
+  }
+
+  def fetch(url: String): RawResponse = {
+    politeWait(Urls.host(url))
+    val deadlineNs = System.nanoTime() + cfg.requestBudgetMs * 1000000L
+    var conn: HttpURLConnection = null
+    try {
+      conn = new URI(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+      conn.setInstanceFollowRedirects(false)
+      conn.setConnectTimeout(cfg.connectTimeoutMs)
+      conn.setReadTimeout(cfg.readTimeoutMs)
+      conn.setRequestProperty("User-Agent", cfg.userAgent)
+      if (cfg.acceptGzip) conn.setRequestProperty("Accept-Encoding", "gzip")
+      val code = conn.getResponseCode
+      code match {
+        case c if c >= 200 && c < 300 =>
+          val headers = headerMap(conn)
+          val declared = headers.get("content-length")
+            .flatMap(_.trim.toLongOption).getOrElse(-1L)
+          val bytes = readBounded(conn.getInputStream, cfg.contentLimit,
+            deadlineNs)
+          RawPage(
+            headers.getOrElse("content-type", "application/octet-stream"),
+            headers, bytes,
+            if (declared >= 0) declared else bytes.length.toLong)
+        case 301 | 308 =>
+          redirectOf(conn, url, perm = true)
+        case 302 | 303 | 307 =>
+          redirectOf(conn, url, perm = false)
+        case c if c >= 400 && c < 500 => RawNotFound
+        case _ => RawServerError
+      }
+    } catch {
+      case _: SocketTimeoutException => RawServerError // T6: stalled request
+      case _: java.io.IOException => RawServerError
+      case _: IllegalArgumentException => RawNotFound // unparseable URL
+      case _: java.net.URISyntaxException => RawNotFound
+    } finally if (conn != null) conn.disconnect()
+  }
+
+  private def redirectOf(conn: HttpURLConnection, url: String,
+      perm: Boolean): RawResponse =
+    Option(conn.getHeaderField("Location"))
+      .flatMap(loc => Urls.resolveOutlink(url, loc)) match {
+      case Some(to) => RawRedirect(to, perm)
+      case None => RawNotFound // redirect with no usable target
+    }
+
+  private def headerMap(conn: HttpURLConnection): Map[String, String] = {
+    val out = Map.newBuilder[String, String]
+    conn.getHeaderFields.forEach { (k, vs) =>
+      if (k != null && !vs.isEmpty) out += k.toLowerCase -> vs.get(0)
+    }
+    out.result()
+  }
+
+  /** Read at most `limit` bytes; abort (SocketTimeoutException) past the
+    * total request budget — the T6 watchdog against trickling responses.
+    */
+  private def readBounded(in: InputStream, limit: Int, deadlineNs: Long)
+      : Array[Byte] = {
+    val bos = new ByteArrayOutputStream(math.min(limit, 64 * 1024))
+    val buf = new Array[Byte](8192)
+    try {
+      var remaining = limit
+      var n = 0
+      while (remaining > 0 && n != -1) {
+        if (System.nanoTime() > deadlineNs)
+          throw new SocketTimeoutException("request budget exhausted")
+        n = in.read(buf, 0, math.min(buf.length, remaining))
+        if (n > 0) { bos.write(buf, 0, n); remaining -= n }
+      }
+    } finally in.close()
+    bos.toByteArray
+  }
+
+  private def politeWait(host: String): Unit = {
+    if (cfg.minHostGapMs <= 0) return
+    val now = System.currentTimeMillis()
+    val last = lastHitMs.getOrDefault(host, 0L)
+    val wait = last + cfg.minHostGapMs - now
+    if (wait > 0) Thread.sleep(wait)
+    lastHitMs.put(host, System.currentTimeMillis())
+  }
+
+  // ------------------------------------------------------------- robots
+
+  def robotsDisallows(url: String): Seq[String] = {
+    val auth = authorityOf(url)
+    robotsCache.computeIfAbsent(auth, a => fetchRobots(a))
+  }
+
+  private def fetchRobots(authority: String): Seq[String] = {
+    var conn: HttpURLConnection = null
+    try {
+      conn = new URI(s"$authority/robots.txt").toURL.openConnection()
+        .asInstanceOf[HttpURLConnection]
+      conn.setInstanceFollowRedirects(true)
+      conn.setConnectTimeout(cfg.connectTimeoutMs)
+      conn.setReadTimeout(cfg.readTimeoutMs)
+      conn.setRequestProperty("User-Agent", cfg.userAgent)
+      if (conn.getResponseCode / 100 == 2) {
+        val txt = new String(
+          readBounded(conn.getInputStream, 512 * 1024,
+            System.nanoTime() + cfg.requestBudgetMs * 1000000L),
+          java.nio.charset.StandardCharsets.UTF_8)
+        HttpFetcher.parseRobots(txt, cfg.userAgent)
+      } else Nil // 404 (and anything else): allow-all, reference default
+    } catch {
+      case _: Exception => Nil
+    } finally if (conn != null) conn.disconnect()
+  }
+}
+
+object HttpFetcher {
+
+  // per-executor-JVM shared state: robots rules per authority, last
+  // request wall time per host (politeness floor)
+  private val robotsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+  private val lastHitMs =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
+  /** Minimal robots.txt group parser: consecutive `User-agent` lines open
+    * a group, its `Disallow` values are path PREFIXES (the fetch stage
+    * applies `path.startsWith`). The group matching our agent token wins
+    * over the `*` group; empty Disallow (allow-all) contributes nothing.
+    * (Reference wraps crawler-commons' SimpleRobotRulesParser,
+    * RobotRulesParser.java:414-496 — prefix semantics, no wildcards.)
+    */
+  private[crawl] def parseRobots(txt: String, userAgent: String)
+      : Seq[String] = {
+    final case class Group(agents: List[String], disallows: List[String])
+    val groups = scala.collection.mutable.ArrayBuffer[Group]()
+    var agents = List.empty[String]
+    var dis = List.empty[String]
+    var openAgents = false
+    def flush(): Unit = {
+      if (agents.nonEmpty) groups += Group(agents.reverse, dis.reverse)
+      agents = Nil; dis = Nil
+    }
+    txt.linesIterator.foreach { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      val i = line.indexOf(':')
+      if (i > 0) {
+        val key = line.substring(0, i).trim.toLowerCase
+        val value = line.substring(i + 1).trim
+        key match {
+          case "user-agent" =>
+            if (!openAgents) flush()
+            agents ::= value.toLowerCase
+            openAgents = true
+          case "disallow" =>
+            if (value.nonEmpty) dis ::= value
+            openAgents = false
+          case _ =>
+            openAgents = false
+        }
+      }
+    }
+    flush()
+    val ua = userAgent.toLowerCase
+    groups.find(_.agents.exists(a => a != "*" && ua.contains(a)))
+      .orElse(groups.find(_.agents.contains("*")))
+      .map(_.disallows)
+      .getOrElse(Nil)
+  }
+}
