@@ -117,22 +117,39 @@ object Urls {
     if (slash == -1) "/" else canonicalUrl.substring(slash)
   }
 
-  /** Registered domain: last two host labels, public-suffix-aware for a
-    * small built-in set of 2-level suffixes (reference:
-    * util/URLUtil.java getDomainName + conf/domain-suffixes.xml).
+  /** Multi-level public suffixes (effective TLDs), loaded once from the
+    * classpath resource (reference: util/URLUtil.java getDomainName over
+    * conf/domain-suffixes.xml — IANA + publicsuffix.org data). 2- and
+    * 3-label suffixes; single-label TLDs are the implicit fallback.
     */
-  private val twoLevelSuffixes = Set(
-    "co.uk", "ac.uk", "gov.uk", "org.uk", "com.cn", "net.cn", "org.cn",
-    "com.au", "net.au", "org.au", "co.jp", "ne.jp", "or.jp", "com.br")
+  private[core] lazy val publicSuffixes: Set[String] = {
+    val in = getClass.getResourceAsStream("/graft/public-suffixes.txt")
+    if (in == null) Set.empty
+    else
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toSet
+      finally in.close()
+  }
+  private lazy val maxSuffixLabels: Int =
+    if (publicSuffixes.isEmpty) 2
+    else publicSuffixes.iterator.map(_.count(_ == '.') + 1).max
 
+  /** Registered domain of a host: the LONGEST matching public suffix plus
+    * one label; hosts under no listed suffix fall back to the last two
+    * labels. `co.kr`, `com.tr`, `co.in` etc. group correctly for byDomain
+    * politeness queues (a wrong boundary would merge every *.com.tr host
+    * into one queue — or split a registrant across queues).
+    */
   def domain(host: String): String = {
     val parts = host.split('.')
-    if (parts.length <= 2) host
-    else {
-      val lastTwo = parts.takeRight(2).mkString(".")
-      if (twoLevelSuffixes.contains(lastTwo)) parts.takeRight(3).mkString(".")
-      else lastTwo
+    if (parts.length <= 2) return host
+    var k = math.min(parts.length - 1, maxSuffixLabels)
+    while (k >= 2) {
+      if (publicSuffixes.contains(parts.takeRight(k).mkString(".")))
+        return parts.takeRight(k + 1).mkString(".")
+      k -= 1
     }
+    parts.takeRight(2).mkString(".")
   }
 
   /** Reversed-URL parity helper (reference util/TableUtil.java:53-82):

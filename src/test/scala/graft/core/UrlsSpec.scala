@@ -118,6 +118,17 @@ class UrlsSpec extends AnyFunSuite {
     assert(Urls.domain("www.foo.com") === "foo.com")
     assert(Urls.domain("a.b.site.co.uk") === "site.co.uk")
     assert(Urls.domain("foo.com") === "foo.com")
+    // full public-suffix list: 2-level suffixes beyond the old built-ins
+    assert(Urls.publicSuffixes.size > 2000)
+    assert(Urls.domain("shop.firm.com.tr") === "firm.com.tr")
+    assert(Urls.domain("www.portal.co.kr") === "portal.co.kr")
+    assert(Urls.domain("m.news.co.in") === "news.co.in")
+    // 3-level suffixes take precedence over their 2-level parent
+    assert(Urls.domain("www.school.nsw.edu.au") === "school.nsw.edu.au")
+    assert(Urls.domain("x.schools.ma.us") === "schools.ma.us") // 2-level us
+    // no listed suffix -> last two labels; suffix-only host stays whole
+    assert(Urls.domain("deep.sub.example.zz") === "example.zz")
+    assert(Urls.domain("co.uk") === "co.uk")
   }
 
   test("pathOf starts at the first '/' after the authority (ports, query)") {
