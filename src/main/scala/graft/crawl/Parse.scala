@@ -153,7 +153,10 @@ object Parse {
     */
   private[crawl] def parseAttrs(tagBody: String): Map[String, String] = {
     val out = scala.collection.mutable.LinkedHashMap[String, String]()
-    AttrRe.findAllMatchIn(tagBody).foreach { m =>
+    // a self-closing tag's trailing '/' must not be absorbed into a final
+    // unquoted attribute value (`<img src=x.png/>` is src="x.png")
+    val body = tagBody.trim.stripSuffix("/")
+    AttrRe.findAllMatchIn(body).foreach { m =>
       val name = m.group(1).toLowerCase
       val value = Option(m.group(2)).orElse(Option(m.group(3)))
         .orElse(Option(m.group(4))).getOrElse("")

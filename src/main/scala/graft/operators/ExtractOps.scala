@@ -83,6 +83,55 @@ object ExtractOps {
       ListRule("(scan.*)", "(scan|join|merge|sort) ([a-z]+)",
         Seq("op" -> 1, "arg" -> 2)))
 
+  /** C7/C5 in full: DOM-WALKING list extraction (reference
+    * parse/element/DomListSegmentRule.java:31-440 — block node located in
+    * the DOM, repeated row nodes, per-row column values via node walks —
+    * vs the regex ListRule above which re-expresses RegexListRule).
+    *
+    * Oracle strategy (same pattern as q_media_stats): each document
+    * renders a deterministic HTML page from its OWN tokens — full of
+    * real-web quirks (single/unquoted attributes, implied </li>, nested
+    * inline tags, a decoy list, entity encoding) — and Spark must recover
+    * (name, link) per row through Dom.parse + DomListRule; DuckDB
+    * recomputes the expected values directly from the tokens. A wrong
+    * tree build, selector match, or walk order hash-mismatches.
+    */
+  def domListExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rule = graft.crawl.Dom.DomListRule("ul.items", "li", Seq(
+      graft.crawl.Dom.DomColRule("name", "span.name"),
+      graft.crawl.Dom.DomColRule("link", "a", Some("href"))))
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        rule.extract(renderItemsPage(id, text)).zipWithIndex.map {
+          case (cols, i) => (id, i, cols.head, cols(1))
+        }
+      }
+      .toDF("doc_id", "pos", "name", "link")
+  }
+
+  /** Deterministic per-document fixture page: first 5 tokens as list
+    * rows, written with the attribute/closing quirks of real HTML.
+    */
+  private[graft] def renderItemsPage(docId: Long, text: String)
+      : String = {
+    val toks = text.split(" ").filter(_.nonEmpty).take(5)
+    val sb = new StringBuilder("<html><body>")
+    sb.append("<ul class='other'><li><span class=name>decoy</span>")
+    sb.append("<a href='/decoy'>d</a></li></ul>")
+    sb.append("<ul class=\"items\" data-n=").append(toks.length).append(">")
+    toks.zipWithIndex.foreach { case (t, i) =>
+      sb.append("<li id=").append(i + 1).append("><span class='name'><b>")
+        .append(graft.crawl.Parse.encodeEntities(t))
+        .append("</b></span>")
+        .append("<a href=/item/").append(i + 1).append("?d=").append(docId)
+        .append(" rel=x>go</a>") // implied </li>
+    }
+    sb.append("</ul><p>tail</p></body></html>")
+    sb.toString
+  }
+
   /** C6 date parsing/arithmetic (DateCalcUtil `sysdate(+-n)` analogs):
     * interval add, truncation, field extraction.
     */
@@ -112,10 +161,16 @@ object ExtractOps {
         "SELECT doc_id, idx, " +
         "regexp_extract(row_, '(scan|join|merge|sort) ([a-z]+)', 1) AS op, " +
         "regexp_extract(row_, '(scan|join|merge|sort) ([a-z]+)', 2) AS arg FROM (" +
-        "SELECT doc_id, unnest(rows_) AS row_, unnest(range(1, len(rows_) + 1)) AS idx FROM r)"))
+        "SELECT doc_id, unnest(rows_) AS row_, unnest(range(1, len(rows_) + 1)) AS idx FROM r)"),
+    "q_dom_list_extract" ->
+      ("WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents) " +
+        "SELECT doc_id, CAST(i - 1 AS INT) AS pos, t[i] AS name, " +
+        "'/item/' || i || '?d=' || doc_id AS link " +
+        "FROM toks, unnest(range(1, least(len(t), 5) + 1)) AS u(i)"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_field_extract" -> fieldExtract _,
     "q_date_calc" -> dateCalc _,
-    "q_list_extract" -> listExtract _)
+    "q_list_extract" -> listExtract _,
+    "q_dom_list_extract" -> domListExtract _)
 }
