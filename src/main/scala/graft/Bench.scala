@@ -11,8 +11,11 @@ import org.apache.spark.sql.SparkSession
   * Each parallelism level runs the IDENTICAL crawl (fixed buckets, fixed
   * batch plan) in a FRESH child JVM (graft.ScalingRun): sharing one JVM
   * between a local[32] and a local[8] session produced 3x GC/JIT
-  * carry-over noise. Two runs per level, best kept (no real cluster in
-  * this sandbox — see BASELINE.md's measurement protocol).
+  * carry-over noise. PRE-REGISTERED sampling: a fixed number of
+  * alternated N/4N pairs, all samples reported, median per level as the
+  * headline estimator — no adaptive resampling toward a threshold (no
+  * real cluster in this sandbox; the pair is two parallelism levels of
+  * one box — see BASELINE.md's measurement protocol).
   */
 object Bench {
 
@@ -89,11 +92,15 @@ object Bench {
     val n4Cpus = 4 * nCpus
     try scalingRun(nCpus, warmup = true) // JIT/classloading baseline probe
     catch { case _: Exception => }
-    // 3 alternated pairs, best per level: this host has bimodal
-    // multi-minute interference windows (clean-range efficiency observed
-    // 0.78-0.89 across identical runs); the max statistic of 3 is the
-    // defensible estimator of uncontended throughput. A failed child JVM
-    // is dropped, never fatal — the driver must always get a JSON line.
+    // PRE-REGISTERED protocol (methodology fixed before running, no
+    // adaptive stopping): exactly `nPairs` alternated N/4N pairs, all
+    // samples reported, MEDIAN throughput per level is the headline
+    // estimator. Round 2's "buy extra pairs while efficiency < 0.8" loop
+    // was optional stopping conditioned on the pass threshold — it biased
+    // the reported number upward and is gone; best-of is still emitted,
+    // clearly labeled, for comparison against older rounds. A failed
+    // child JVM is dropped, never fatal — the driver must always get a
+    // JSON line.
     val nPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "3").toInt
     def onePair(): Seq[(Int, (Long, Double, Double, Double))] =
       Seq(nCpus, n4Cpus).flatMap { c =>
@@ -101,46 +108,28 @@ object Bench {
         catch { case e: Exception =>
           System.err.println(s"[bench] run at $c cores failed: $e"); None }
       }
-    var runs = (1 to nPairs).flatMap(_ => onePair())
-    // the host has bimodal multi-minute interference windows; when the
-    // best-of sample still lands under the 0.8 efficiency target, buy up
-    // to 2 more alternated pairs before reporting
-    def effOf(rs: Seq[(Int, (Long, Double, Double, Double))]): Double = {
-      def thr(c: Int): Double = {
-        val best = rs.filter(_._1 == c).map(r => (r._2._1, r._2._2))
-        if (best.isEmpty) return 0.0
-        val (n, s) = best.minBy(_._2)
-        if (s > 0) n / s else 0.0
+    val runs = (1 to nPairs).flatMap(_ => onePair())
+
+    def samples(c: Int): Seq[(Long, Double, Double, Double)] =
+      runs.filter(_._1 == c).map(_._2)
+    def thrSamples(c: Int): Seq[Double] =
+      samples(c).map(r => if (r._2 > 0) r._1 / r._2 else 0.0)
+    def median(xs: Seq[Double]): Option[Double] =
+      if (xs.isEmpty) None
+      else {
+        val s = xs.sorted
+        Some(if (s.length % 2 == 1) s(s.length / 2)
+        else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0)
       }
-      val tN = thr(nCpus)
-      if (tN > 0) (thr(n4Cpus) / tN) / (n4Cpus.toDouble / nCpus) else 0.0
-    }
-    var extra = 0
-    while (effOf(runs) < 0.8 && extra < 2) {
-      System.err.println(f"[bench] efficiency ${effOf(runs)}%.3f < 0.8 " +
-        s"after ${nPairs + extra} pairs; sampling one more")
-      runs = runs ++ onePair()
-      extra += 1
-    }
-    // Guard the stated "a failed child JVM is dropped, never fatal"
-    // contract: with zero surviving runs at a level, emit the query-only
-    // JSON with null crawl metrics instead of throwing on minBy(empty).
-    def bestFetch(c: Int): Option[(Long, Double)] = {
-      val rs = runs.filter(_._1 == c).map(r => (r._2._1, r._2._2))
-      if (rs.isEmpty) None else Some(rs.minBy(_._2))
-    }
-    def bestMerge(c: Int): Option[Double] = {
-      val rs = runs.filter(_._1 == c).map(_._2._3)
-      if (rs.isEmpty) None else Some(rs.min)
-    }
+    def medThr(c: Int): Option[Double] = median(thrSamples(c))
+    def medMerge(c: Int): Option[Double] = median(samples(c).map(_._3))
+    def medCompact(c: Int): Option[Double] = median(samples(c).map(_._4))
+    def arr(xs: Seq[Double]): String =
+      xs.map(x => f"$x%.1f").mkString("[", ",", "]")
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    def bestCompact(c: Int): Option[Double] = {
-      val rs = runs.filter(_._1 == c).map(_._2._4)
-      if (rs.isEmpty) None else Some(rs.min)
-    }
     // absolute-throughput headline at wider parallelism (cpus/4), outside
     // the efficiency pair
     val wideCpus = math.max(n4Cpus, cpus / 4)
@@ -150,25 +139,31 @@ object Bench {
         System.err.println(s"[bench] wide run failed: $e"); None }
     val wideThr = wide.map(w => if (w._2 > 0) w._1 / w._2 else 0.0)
       .getOrElse(0.0)
-    val crawlJson = (bestFetch(nCpus), bestFetch(n4Cpus)) match {
-      case (Some(tn), Some(t4n)) =>
-        val mergeN = bestMerge(nCpus).get
-        val merge4n = bestMerge(n4Cpus).get
-        val thr4n = if (t4n._2 > 0) t4n._1 / t4n._2 else 0.0
-        val thrN = if (tn._2 > 0) tn._1 / tn._2 else 0.0
-        val eff =
-          if (thrN > 0) (thr4n / thrN) / (n4Cpus.toDouble / nCpus) else 0.0
-        s"""{"fetched_urls":${t4n._1},""" +
+    val crawlJson = (medThr(nCpus), medThr(n4Cpus)) match {
+      case (Some(thrN), Some(thr4n)) if thrN > 0 =>
+        val eff = (thr4n / thrN) / (n4Cpus.toDouble / nCpus)
+        val effBest = {
+          val bN = thrSamples(nCpus).max
+          val b4 = thrSamples(n4Cpus).max
+          if (bN > 0) (b4 / bN) / (n4Cpus.toDouble / nCpus) else 0.0
+        }
+        s"""{"fetched_urls":${samples(n4Cpus).map(_._1).max},""" +
           s""""fetched_urls_per_sec_4N":$thr4n,""" +
           s""""fetched_urls_per_sec_N":$thrN,""" +
-          s""""updatedb_merge_sec_4N":$merge4n,""" +
-          s""""updatedb_merge_sec_N":$mergeN,""" +
-          s""""compaction_sec_4N":${bestCompact(n4Cpus).getOrElse(-1.0)},""" +
-          s""""compaction_sec_N":${bestCompact(nCpus).getOrElse(-1.0)},""" +
+          s""""throughput_samples_N":${arr(thrSamples(nCpus))},""" +
+          s""""throughput_samples_4N":${arr(thrSamples(n4Cpus))},""" +
+          s""""updatedb_merge_sec_4N":${medMerge(n4Cpus).getOrElse(-1.0)},""" +
+          s""""updatedb_merge_sec_N":${medMerge(nCpus).getOrElse(-1.0)},""" +
+          s""""compaction_sec_4N":${medCompact(n4Cpus).getOrElse(-1.0)},""" +
+          s""""compaction_sec_N":${medCompact(nCpus).getOrElse(-1.0)},""" +
           s""""cores_N":$nCpus,"cores_4N":$n4Cpus,""" +
+          s""""estimator":"median of $nPairs pre-registered pairs; """ +
+          s"""single-box core pair $nCpus->$n4Cpus, NOT a multi-node """ +
+          s"""8->32 claim",""" +
           s""""cores_wide":$wideCpus,""" +
           s""""fetched_urls_per_sec_wide":$wideThr,""" +
-          s""""scaling_efficiency":$eff}"""
+          s""""scaling_efficiency":$eff,""" +
+          s""""scaling_efficiency_best":$effBest}"""
       case _ => "null"
     }
     val json =

@@ -67,7 +67,8 @@ final class CrawlPipeline(
     queueMode: String = QueueMode.ByHost,
     fetchTimelimitMs: Long = -1L,
     compactEvery: Int = 4,
-    fetcherOverride: Fetcher = null)
+    fetcherOverride: Fetcher = null,
+    majorEvery: Int = 8)
     extends Serializable {
 
   import spark.implicits._
@@ -160,19 +161,27 @@ final class CrawlPipeline(
     * side) stays topN-bounded; the base scan remains untouched columnar
     * parquet. A full snapshot (no deltas) reads directly.
     */
+  /** Latest version of each key across an ordered list of delta frames
+    * (later frames win) — the chain fold shared by the MoR view and both
+    * compaction paths. Shuffle is DELTA-sized (topN-bounded per frame).
+    */
+  private def latestOf(frames: Seq[org.apache.spark.sql.DataFrame])
+      : Dataset[CrawlRow] = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("urlHash")).orderBy(col("_dseq").desc)
+    frames.zipWithIndex
+      .map { case (df, i) => df.withColumn("_dseq", lit(i)) }
+      .reduce(_ unionByName _)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_dseq")
+      .as[CrawlRow]
+  }
+
   private[crawl] def viewOf(c: Commit): Dataset[CrawlRow] = {
     if (c.deltas.isEmpty) readFrontier(c.frontierPath)
     else {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("urlHash")).orderBy(col("_dseq").desc)
-      val latest = c.deltas.zipWithIndex
-        .map { case (p, i) =>
-          spark.read.parquet(p).withColumn("_dseq", lit(i)) }
-        .reduce(_ union _)
-        .withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1)
-        .drop("_rn", "_dseq")
-        .as[CrawlRow]
+      val latest = latestOf(c.deltas.map(p => spark.read.parquet(p)))
       // unionByName: a partitionBy-layout base read appends `bucket` last,
       // while delta files carry case-class column order
       readFrontier(c.frontierPath)
@@ -183,6 +192,37 @@ final class CrawlPipeline(
     }
   }
 
+  /** Compaction snapshot write WITHOUT the full-width exchange (the
+    * measured scaling soft spot of round 2: repartitioning every frontier
+    * row for the snapshot write was memory-bandwidth bound at 0.54-0.62
+    * efficiency). The base scan's tasks are already bucket-aligned — each
+    * parquet split holds rows of exactly one `bucket=N` directory — so
+    * untouched rows stream scan->writer with no exchange; only the folded
+    * delta (topN-bounded) pays a small repartition and is APPENDED into
+    * the same partition layout.
+    *
+    * Trade-off: each minor compaction adds ~numBuckets delta files to the
+    * snapshot instead of rewriting one file per bucket; `majorEvery`
+    * bounds the growth — every majorEvery-th compaction bin-packs through
+    * the full exchange (Iceberg's minor/major compaction split).
+    */
+  private def writeSnapshotNoExchange(baseUntouched: Dataset[CrawlRow],
+      latest: Dataset[CrawlRow], path: String): Map[String, Long] = {
+    baseUntouched
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(path)
+    latest.repartition(math.max(1, numBuckets / 8), col("bucket"))
+      .write.mode(SaveMode.Append).partitionBy("bucket").parquet(path)
+    spark.read.parquet(path).groupBy("bucket").count()
+      .as[(Int, Long)].collect().map { case (b, c) => b.toString -> c }.toMap
+  }
+
+  /** True when the NEXT compaction should bin-pack (major). */
+  private def nextCompactionIsMajor(): Boolean = {
+    val n = log.commits().count(c =>
+      c.stage == "compact" || c.metrics.contains("compacted"))
+    majorEvery > 0 && n % majorEvery == majorEvery - 1
+  }
+
   /** The current frontier state as a Dataset (test/ops surface). */
   def frontierState(): Dataset[CrawlRow] =
     viewOf(lastState().getOrElse(
@@ -190,17 +230,31 @@ final class CrawlPipeline(
 
   /** Compact the delta chain into a full snapshot (the Iceberg MoR
     * compaction job). No-op when the state is already a full snapshot.
+    * Minor by default (no base exchange); `binPack` forces a major
+    * (exchange) rewrite that re-densifies the file layout.
     */
-  def compact(now: Long): Unit = lastState().foreach { c =>
-    if (c.deltas.nonEmpty) {
-      val seq = log.nextSeq()
-      val path = snapshotDir(seq)
-      val t0 = System.nanoTime()
-      val counts = writeFrontier(viewOf(c), path)
-      commitStage(seq, c.batchId, "compact", path, counts, now,
-        Map("compactWallMs" -> ((System.nanoTime() - t0) / 1e6)))
+  def compact(now: Long, binPack: Boolean = false): Unit =
+    lastState().foreach { c =>
+      if (c.deltas.nonEmpty) {
+        val seq = log.nextSeq()
+        val path = snapshotDir(seq)
+        val t0 = System.nanoTime()
+        val latest = latestOf(c.deltas.map(p => spark.read.parquet(p)))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val baseUntouched = readFrontier(c.frontierPath)
+          .join(broadcast(latest.select(col("urlHash"))), Seq("urlHash"),
+            "left_anti")
+        val counts =
+          if (binPack || nextCompactionIsMajor())
+            writeFrontier(
+              baseUntouched.unionByName(latest.toDF()).as[CrawlRow], path)
+          else
+            writeSnapshotNoExchange(baseUntouched.as[CrawlRow], latest, path)
+        latest.unpersist()
+        commitStage(seq, c.batchId, "compact", path, counts, now,
+          Map("compactWallMs" -> ((System.nanoTime() - t0) / 1e6)))
+      }
     }
-  }
 
   private def commitStage(seq: Long, batchId: String, stage: String,
       frontierPath: String, partCounts: Map[String, Long], now: Long,
@@ -804,15 +858,34 @@ final class CrawlPipeline(
     val result =
       if (chainLen >= compactEvery - 1) {
         // compacting merge: fold the chain + this batch into a full
-        // snapshot (the only full-width write in the cycle)
+        // snapshot. Minor (default): untouched base rows stream
+        // scan->writer bucket-aligned with NO exchange; only the folded
+        // chain (topN-bounded) shuffles. Every majorEvery-th compaction
+        // bin-packs through the full exchange instead.
         val path = snapshotDir(seq)
-        val untouched = frontier
-          .join(broadcast(touchedKeys), Seq("urlHash"), "left_anti")
-        val counts = writeFrontier(
-          untouched.unionByName(delta.toDF()).as[CrawlRow], path)
+        val chainFrames = prev.map(_.deltas).getOrElse(Nil)
+          .map(p => spark.read.parquet(p))
+        // persisted: the folded chain feeds TWO jobs (base anti-join keys
+        // + its own append) — without it the whole merge lineage would
+        // recompute per job
+        val latest = latestOf(chainFrames :+ delta.toDF()).persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val basePath = prev.map(_.frontierPath).getOrElse("")
+        val baseUntouched = readFrontier(basePath)
+          .join(broadcast(latest.select(col("urlHash"))), Seq("urlHash"),
+            "left_anti")
+        val major = nextCompactionIsMajor()
+        val counts =
+          if (major)
+            writeFrontier(
+              baseUntouched.unionByName(latest.toDF()).as[CrawlRow], path)
+          else
+            writeSnapshotNoExchange(baseUntouched.as[CrawlRow], latest, path)
+        latest.unpersist()
         val mergeMs = (System.nanoTime() - t0) / 1e6
         commitStage(seq, batchId, "updatedb", path, counts, now,
-          Map("mergeWallMs" -> mergeMs, "compacted" -> 1.0))
+          Map("mergeWallMs" -> mergeMs,
+            "compacted" -> (if (major) 2.0 else 1.0)))
       } else {
         val deltaPath = s"$root/frontier/delta-$seq"
         delta.repartition(math.max(1, numBuckets / 8), col("bucket"))
