@@ -51,8 +51,10 @@ object ScalingRun {
     if (warmup) p.runBatches(depth = 2, topN = 2000, maxPerHost = 40)
     else p.runBatches(depth = 3, topN = 50000, maxPerHost = 40)
     // fold the MoR delta chain so the full-width compaction write is
-    // measured too (it is the amortized cost the per-batch deltas defer)
-    p.compact(now = 1700000000000L + 99L * 3600000L)
+    // measured too (it is the amortized cost the per-batch deltas defer);
+    // GRAFT_COMPACT_BINPACK=1 forces the major (exchange) path for A/B
+    p.compact(now = 1700000000000L + 99L * 3600000L,
+      binPack = sys.env.contains("GRAFT_COMPACT_BINPACK"))
     val commits = p.log.commits()
     val fetched = commits.filter(_.stage == "fetch").map(_.rowCount).sum
     val fetchWall = commits.filter(_.stage == "fetch")

@@ -296,6 +296,25 @@ class CrawlParitySpec extends AnyFunSuite {
     assert(after === before)
   }
 
+  test("exchange-free minor compaction: state identical to the exchange path") {
+    // noExchangeMinBytes=0 forces the scan-parallel (no base exchange)
+    // compaction writer at test scale; majorEvery disabled so every
+    // compaction takes the minor path. State must equal the exchange run.
+    val cfg = webCfg.copy(numHosts = 5, pagesPerHost = 12)
+    def run(minBytes: Long): Set[(String, Int, Long, Float, Int)] = {
+      val dir = Files.createTempDirectory(s"crawl-noex-$minBytes").toString
+      val p = new CrawlPipeline(spark, dir, cfg, numBuckets = 4,
+        compactEvery = 2, majorEvery = 0, noExchangeMinBytes = minBytes)
+      p.runBatches(4, 40, 8)
+      p.compact(now = 1700000000000L + 99 * 3600000L)
+      p.frontierState().collect()
+        .map(r => (r.url, r.status, r.fetchTime, r.score, r.distance)).toSet
+    }
+    val noExchange = run(0L)
+    val exchange = run(Long.MaxValue)
+    assert(noExchange === exchange)
+  }
+
   test("bloom seen-filter changes nothing but the plan") {
     val cfg = webCfg.copy(numHosts = 5, pagesPerHost = 12)
     def run(bloom: Boolean): Set[(String, Int, Long, Float)] = {
