@@ -3,18 +3,19 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.crawl.ImageCodec
+import graft.crawl.{ImageCodec, MediaCodec}
 
 /** Multimodal columns for a training-data pipeline: media payloads as
   * opaque `binary` columns with typed metadata, processed per-partition
   * (the Scala analog of `mapInPandas` batch processing — one decoder
   * instance per partition, streaming iterator, no per-row setup cost).
   *
-  * Image decode/resize are REAL (javax.imageio). Audio feature extraction
-  * and video frame sampling are STUBBED — the codec libraries are not in
-  * this container — behind deterministic fakes clearly marked below; the
-  * Spark-side plumbing (schema, partitioning, batch iteration) is real and
-  * tested in MultimodalSpec.
+  * ALL THREE modalities are REAL: image decode/resize via javax.imageio,
+  * audio via a pure-JVM PCM16 WAV parser with RMS/ZCR/MFCC features
+  * (FFT + mel filterbank + DCT, crawl/MediaCodec.scala), video via a
+  * motion-JPEG AVI demuxer whose frames decode through ImageIO. No
+  * external codec library is needed for these container formats, which
+  * is what retired the round-1/2 stubs.
   */
 object MultimodalOps {
 
@@ -29,23 +30,46 @@ object MultimodalOps {
     * the EXPECTED dimensions from this formula while the Spark side must
     * recover them by actually decoding the encoded bytes.
     */
-  private[operators] def specOf(i: Long): (String, Int, Int, String) = {
+  private[operators] def hv(i: Long, k: Int): Int = {
     val hex = graft.core.Signature.md5Hex(
       i.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8), "")
-    def hv(k: Int): Int = "0123456789abcdef".indexOf(hex.charAt(k - 1))
-    val kind = hv(1) % 4 match {
+    "0123456789abcdef".indexOf(hex.charAt(k - 1))
+  }
+
+  private[operators] def specOf(i: Long): (String, Int, Int, String) = {
+    val kind = hv(i, 1) % 4 match {
       case 0 | 1 => "image"
       case 2 => "audio"
       case _ => "video"
     }
-    val w = 16 + (hv(2) * 16 + hv(3)) % 33
-    val h = 16 + (hv(4) * 16 + hv(5)) % 33
-    val fmt = if (hv(6) % 2 == 0) "png" else "jpeg"
+    val w = 16 + (hv(i, 2) * 16 + hv(i, 3)) % 33
+    val h = 16 + (hv(i, 4) * 16 + hv(i, 5)) % 33
+    val fmt = if (hv(i, 6) % 2 == 0) "png" else "jpeg"
     (kind, w, h, fmt)
   }
 
-  /** Deterministic synthetic media table: real encoded images, opaque
-    * audio/video byte blobs (seeded).
+  /** Audio spec (md5 nibbles 7-10): sample rate 8/16/32 kHz, sample
+    * count, tone frequency — the cross-engine formula behind
+    * q_audio_stats' oracle.
+    */
+  private[operators] def audioSpecOf(i: Long): (Int, Int, Double) = {
+    val rate = 8000 << (hv(i, 7) % 3)
+    val nSamples = 2048 + (hv(i, 8) * 16 + hv(i, 9)) * 31
+    val freq = 200.0 + hv(i, 10) * 50.0
+    (rate, nSamples, freq)
+  }
+
+  /** Video spec (md5 nibble 7 + the image dims nibbles): frame count and
+    * frame dimensions — behind q_video_stats' oracle.
+    */
+  private[operators] def videoSpecOf(i: Long): (Int, Int, Int) = {
+    val (_, w, h, _) = specOf(i)
+    (2 + hv(i, 7) % 5, w, h)
+  }
+
+  /** Deterministic synthetic media table — ALL payloads are real encoded
+    * bytes: images (png/jpeg), audio (PCM16 WAV of a seeded sine), video
+    * (motion-JPEG AVI of seeded frames).
     */
   def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRow] = {
     import spark.implicits._
@@ -56,13 +80,17 @@ object MultimodalOps {
           MediaRow(i, "image",
             ImageCodec.encode(ImageCodec.pixels(seed, w, h), w, h, fmt), fmt)
         case ("audio", _, _, _) =>
-          val bytes = Array.tabulate(2048)(j =>
-            (graft.core.XxHash64.hashLong(seed + j, 13L) & 0xFF).toByte)
-          MediaRow(i, "audio", bytes, "pcm16")
-        case (_, _, _, _) =>
-          val bytes = Array.tabulate(4096)(j =>
-            (graft.core.XxHash64.hashLong(seed + j, 17L) & 0xFF).toByte)
-          MediaRow(i, "video", bytes, "raw")
+          val (rate, nSamples, freq) = audioSpecOf(i)
+          val samples = Array.tabulate(nSamples)(j =>
+            (0.5 * math.sin(2 * math.Pi * freq * j / rate) * 32767).toShort)
+          MediaRow(i, "audio", MediaCodec.renderWav(samples, rate), "wav")
+        case _ =>
+          val (nFrames, fw, fh) = videoSpecOf(i)
+          val frames = (0 until nFrames).map(f =>
+            ImageCodec.encode(ImageCodec.pixels(seed + f, fw, fh), fw, fh,
+              "jpeg"))
+          MediaRow(i, "video", MediaCodec.renderMjpegAvi(frames, fw, fh),
+            "mjpeg-avi")
       }
     }
   }
@@ -108,42 +136,48 @@ object MultimodalOps {
     }
   }
 
-  /** STUB — audio feature extraction. A real implementation would decode
-    * PCM/OGG and compute MFCC frames; no audio codec ships in this
-    * container, so features are a deterministic fake derived from the
-    * payload bytes. Schema and batching are the real contract.
+  /** REAL audio feature extraction: parse the PCM16 WAV container, emit
+    * sample rate / duration / RMS / zero-crossing rate and the mean MFCC
+    * vector (FFT + mel filterbank + DCT — MediaCodec.mfccMean). One
+    * parser per partition, streaming (the mapInPandas batch shape);
+    * undecodable payloads are dropped, not fatal.
     */
   def audioFeatures(media: Dataset[MediaRow], nMfcc: Int = 13)
       : DataFrame = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "audio").mapPartitions { rows =>
-      rows.map { r =>
-        // ??? real decoder goes here; fake = seeded projection of bytes
-        val feats = Array.tabulate(nMfcc) { k =>
-          val h = graft.core.XxHash64.hashBytes(r.bytes, k.toLong)
-          (h.toDouble / Long.MaxValue) * 10.0
-        }
-        (r.media_id, feats)
+      rows.flatMap { r =>
+        try {
+          val w = MediaCodec.parseWav(r.bytes)
+          Some((r.media_id, w.sampleRate,
+            w.samples.length.toDouble / (w.sampleRate * w.channels),
+            MediaCodec.rms(w.samples), MediaCodec.zeroCrossRate(w.samples),
+            MediaCodec.mfccMean(w, nMfcc)))
+        } catch { case _: IllegalArgumentException => None }
       }
-    }.toDF("media_id", "mfcc_mean")
+    }.toDF("media_id", "sample_rate", "duration_sec", "rms", "zcr",
+      "mfcc_mean")
   }
 
-  /** STUB — video frame sampling. A real implementation would demux and
-    * decode k evenly-spaced frames; here each "frame" is a deterministic
-    * slice fingerprint of the payload. Output shape (one row per sampled
-    * frame, frame index + fingerprint) is the real contract.
+  /** REAL video frame sampling: demux the motion-JPEG AVI, decode k
+    * evenly-spaced frames through ImageIO, emit per-frame dimensions and
+    * perceptual hash. Undecodable payloads are dropped.
     */
   def videoFrameSample(media: Dataset[MediaRow], k: Int = 4): DataFrame = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").flatMap { r =>
-      val step = math.max(1, r.bytes.length / k)
-      (0 until k).map { f =>
-        val slice = r.bytes.slice(f * step, math.min(r.bytes.length,
-          (f + 1) * step))
-        // ??? real frame decode goes here
-        (r.media_id, f, graft.core.XxHash64.hashBytes(slice, 23L))
+      val frames = MediaCodec.parseAviFrames(r.bytes)
+      if (frames.isEmpty) Nil
+      else {
+        val picks =
+          if (frames.length <= k) frames.indices
+          else (0 until k).map(j => j * frames.length / k)
+        picks.map { f =>
+          val (px, w, h) = ImageCodec.decodePixels(frames(f))
+          (r.media_id, f, w, h, ImageCodec.phash(px, w, h))
+        }
       }
-    }.toDF("media_id", "frame_idx", "frame_fp")
+    }.toDF("media_id", "frame_idx", "w", "h", "phash")
   }
 
   /** Driver-facing query: media inventory stats over a synthetic media
@@ -166,6 +200,32 @@ object MultimodalOps {
         round(avg(col("h")), 4).as("avg_h"))
   }
 
+  /** Hash-gated audio readout: Spark must recover sample rate and
+    * duration by PARSING each WAV container; the oracle recomputes the
+    * expected values from the md5 spec formula. A parser that misread a
+    * chunk length or sample width on a single row fails the gate.
+    */
+  def audioStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = syntheticMedia(spark, 400)
+    audioFeatures(media)
+      .select(col("media_id"), col("sample_rate"),
+        round(col("duration_sec"), 4).as("dur_sec"))
+  }
+
+  /** Hash-gated video readout: frame count from the AVI demux, frame
+    * dimensions from DECODING frame 0; oracle from the spec formula.
+    */
+  def videoStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = syntheticMedia(spark, 400)
+    media.filter(_.kind == "video").map { r =>
+      val frames = MediaCodec.parseAviFrames(r.bytes)
+      val (_, w, h) = ImageCodec.decodePixels(frames.head)
+      (r.media_id, frames.length, w, h)
+    }.toDF("media_id", "n_frames", "frame_w", "frame_h")
+  }
+
   /** The md5-nibble spec formula, expressed in DuckDB SQL (hv(k) =
     * instr('0123456789abcdef', substr(md5(i), k, 1)) - 1).
     */
@@ -181,8 +241,35 @@ object MultimodalOps {
         "SELECT kind, count(*) AS cnt, " +
         "round(avg(CASE WHEN kind = 'image' THEN w ELSE 0 END), 4) AS avg_w, " +
         "round(avg(CASE WHEN kind = 'image' THEN h ELSE 0 END), 4) AS avg_h " +
-        "FROM spec GROUP BY kind"))
+        "FROM spec GROUP BY kind"),
+    "q_audio_stats" ->
+      ("WITH m AS (SELECT i, md5(CAST(i AS VARCHAR)) AS x FROM range(400) t(i)), " +
+        "hv AS (SELECT i, " +
+        "instr('0123456789abcdef', substr(x, 1, 1)) - 1 AS h1, " +
+        "instr('0123456789abcdef', substr(x, 7, 1)) - 1 AS h7, " +
+        "instr('0123456789abcdef', substr(x, 8, 1)) - 1 AS h8, " +
+        "instr('0123456789abcdef', substr(x, 9, 1)) - 1 AS h9 FROM m) " +
+        "SELECT i AS media_id, " +
+        "CAST(8000 * power(2, h7 % 3) AS INTEGER) AS sample_rate, " +
+        "round((2048 + (h8 * 16 + h9) * 31) / " +
+        "(8000 * power(2, h7 % 3)), 4) AS dur_sec " +
+        "FROM hv WHERE h1 % 4 = 2"),
+    "q_video_stats" ->
+      ("WITH m AS (SELECT i, md5(CAST(i AS VARCHAR)) AS x FROM range(400) t(i)), " +
+        "hv AS (SELECT i, " +
+        "instr('0123456789abcdef', substr(x, 1, 1)) - 1 AS h1, " +
+        "instr('0123456789abcdef', substr(x, 2, 1)) - 1 AS h2, " +
+        "instr('0123456789abcdef', substr(x, 3, 1)) - 1 AS h3, " +
+        "instr('0123456789abcdef', substr(x, 4, 1)) - 1 AS h4, " +
+        "instr('0123456789abcdef', substr(x, 5, 1)) - 1 AS h5, " +
+        "instr('0123456789abcdef', substr(x, 7, 1)) - 1 AS h7 FROM m) " +
+        "SELECT i AS media_id, CAST(2 + h7 % 5 AS INTEGER) AS n_frames, " +
+        "CAST(16 + (h2 * 16 + h3) % 33 AS INTEGER) AS frame_w, " +
+        "CAST(16 + (h4 * 16 + h5) % 33 AS INTEGER) AS frame_h " +
+        "FROM hv WHERE h1 % 4 = 3"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_media_stats" -> (mediaStats _))
+    "q_media_stats" -> (mediaStats _),
+    "q_audio_stats" -> (audioStats _),
+    "q_video_stats" -> (videoStats _))
 }

@@ -34,16 +34,80 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
-  test("audio/video stubs keep the batch contract (schema + determinism)") {
+  test("WAV codec: render/parse round-trip; RMS/ZCR/MFCC are real signal " +
+    "features") {
+    import graft.crawl.MediaCodec
+    val rate = 16000
+    val sine440 = Array.tabulate(8192)(j =>
+      (0.5 * math.sin(2 * math.Pi * 440 * j / rate) * 32767).toShort)
+    val wav = MediaCodec.renderWav(sine440, rate)
+    val parsed = MediaCodec.parseWav(wav)
+    assert(parsed.sampleRate === rate && parsed.channels === 1)
+    assert(parsed.samples.toSeq === sine440.toSeq)
+    // RMS of a 0.5-amplitude sine = 0.5/sqrt(2)
+    assert(math.abs(MediaCodec.rms(parsed.samples) - 0.3536) < 0.01)
+    // ZCR of a 440Hz tone at 16kHz = 2*440/16000 = 0.055
+    assert(math.abs(MediaCodec.zeroCrossRate(parsed.samples) - 0.055) < 0.005)
+    // MFCCs are deterministic and SPECTRAL: a 440Hz and a 3520Hz tone
+    // must produce clearly different coefficient vectors
+    val m1 = MediaCodec.mfccMean(parsed)
+    assert(m1.toSeq === MediaCodec.mfccMean(parsed).toSeq)
+    assert(m1.forall(d => !d.isNaN && !d.isInfinite))
+    val sine3520 = Array.tabulate(8192)(j =>
+      (0.5 * math.sin(2 * math.Pi * 3520 * j / rate) * 32767).toShort)
+    val m2 = MediaCodec.mfccMean(
+      MediaCodec.parseWav(MediaCodec.renderWav(sine3520, rate)))
+    val dist = math.sqrt(m1.zip(m2).map { case (a, b) =>
+      (a - b) * (a - b) }.sum)
+    assert(dist > 1.0, s"MFCC not spectral: dist $dist")
+    // non-WAV bytes fail loudly
+    intercept[IllegalArgumentException] {
+      MediaCodec.parseWav(Array.fill(64)(7.toByte))
+    }
+  }
+
+  test("AVI codec: mjpeg render/demux round-trip, frames decode") {
+    import graft.crawl.MediaCodec
+    val frames = (0 until 5).map(f =>
+      ImageCodec.encode(ImageCodec.pixels(f + 1L, 24, 16), 24, 16, "jpeg"))
+    val avi = MediaCodec.renderMjpegAvi(frames, 24, 16)
+    val back = MediaCodec.parseAviFrames(avi)
+    assert(back.length === 5)
+    back.zip(frames).foreach { case (a, b) => assert(a.sameElements(b)) }
+    back.foreach { f =>
+      val (px, w, h) = ImageCodec.decodePixels(f)
+      assert(w === 24 && h === 16 && px.length === 24 * 16)
+    }
+    // garbage in -> zero frames, no throw
+    assert(MediaCodec.parseAviFrames(Array.fill(100)(3.toByte)).isEmpty)
+    assert(MediaCodec.parseAviFrames(avi.dropRight(10)).length < 5)
+  }
+
+  test("audio features + video frame sampling are REAL over the media table") {
     val audio = MultimodalOps.audioFeatures(media).collect()
     assert(audio.nonEmpty)
     audio.foreach { row =>
-      assert(row.getSeq[Double](1).length === 13)
+      val rate = row.getAs[Int]("sample_rate")
+      assert(Seq(8000, 16000, 32000).contains(rate))
+      val dur = row.getAs[Double]("duration_sec")
+      assert(dur > 0 && dur < 2.0)
+      // a pure sine has low ZCR and substantial RMS
+      assert(row.getAs[Double]("rms") > 0.2)
+      assert(row.getSeq[Double](5).length === 13)
     }
-    val frames = MultimodalOps.videoFrameSample(media, k = 4)
-    val counts = frames.groupBy("media_id").count()
-      .select("count").as[Long].collect()
-    assert(counts.nonEmpty && counts.forall(_ === 4L))
+    val frames = MultimodalOps.videoFrameSample(media, k = 3).collect()
+    assert(frames.nonEmpty)
+    frames.foreach { row =>
+      assert(row.getAs[Int]("w") >= 16 && row.getAs[Int]("w") <= 48)
+      assert(row.getAs[Int]("h") >= 16 && row.getAs[Int]("h") <= 48)
+    }
+    // per-video sampled count = min(k, n_frames)
+    val byId = frames.groupBy(_.getAs[Long]("media_id"))
+      .view.mapValues(_.length).toMap
+    byId.foreach { case (id, n) =>
+      val (nFrames, _, _) = MultimodalOps.videoSpecOf(id)
+      assert(n === math.min(3, nFrames), s"id $id: $n of $nFrames")
+    }
   }
 
   test("exporter widens map fields and merges schemas across batches") {
