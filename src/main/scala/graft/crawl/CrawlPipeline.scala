@@ -7,6 +7,27 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{CrawlStatus, FetchOutcome, Schedule, ScheduleConfig, Urls, XxHash64}
 
+/** Parsed robots.txt rules with RFC 9309 precedence: the longest
+  * matching path prefix wins; on equal length Allow wins; no match =>
+  * allowed. The empty rule set is allow-all (missing robots.txt).
+  */
+final case class RobotRules(allows: Seq[String], disallows: Seq[String])
+    extends Serializable {
+  def isAllowed(path: String): Boolean = {
+    var bestAllow = -1
+    var bestDis = -1
+    allows.foreach(p =>
+      if (path.startsWith(p) && p.length > bestAllow) bestAllow = p.length)
+    disallows.foreach(p =>
+      if (path.startsWith(p) && p.length > bestDis) bestDis = p.length)
+    bestAllow >= bestDis
+  }
+}
+
+object RobotRules {
+  val AllowAll: RobotRules = RobotRules(Nil, Nil)
+}
+
 /** Pluggable fetcher (reference extension point `Protocol`,
   * plugin/ExtensionPoint.java; SURVEY.md §2.10). Returns the PROTOCOL
   * response — raw bytes + headers; deriving outlinks/text from them is the
@@ -17,18 +38,18 @@ trait Fetcher extends Serializable {
   def fetch(url: String): RawResponse
   def delayMs(url: String): Long
 
-  /** Robots rules for the AUTHORITY of `url`: the Disallow path prefixes
-    * that apply to this crawler (reference RobotRulesParser.java:414-496;
-    * the fetch stage caches one lookup per host per queue group).
+  /** Robots rules for the AUTHORITY of `url` (reference
+    * RobotRulesParser.java:414-496; the fetch stage caches one lookup
+    * per host per queue group).
     */
-  def robotsDisallows(url: String): Seq[String]
+  def robotsRules(url: String): RobotRules
 }
 
 final class SyntheticFetcher(cfg: WebConfig) extends Fetcher {
   def fetch(url: String): RawResponse = SyntheticWeb.raw(url, cfg)
   def delayMs(url: String): Long = SyntheticWeb.delayMs(url, cfg)
-  def robotsDisallows(url: String): Seq[String] =
-    SyntheticWeb.robotsDisallows(Urls.host(url))
+  def robotsRules(url: String): RobotRules =
+    RobotRules(Nil, SyntheticWeb.robotsDisallows(Urls.host(url)))
 }
 
 /** The crawl loop — generate / fetch / parse / updatedb over a
@@ -449,7 +470,7 @@ final class CrawlPipeline(
         // robots cache: one lookup per HOST in the queue group == the
         // per-executor LRU in the reference (robots stay per-host even
         // when the politeness queue is per-domain/IP)
-        val disallowsOf = scala.collection.mutable.Map[String, Seq[String]]()
+        val rulesOf = scala.collection.mutable.Map[String, RobotRules]()
         // queue politeness settings: hostdb row for the queue key, else
         // the config trie at the queue key (J2/J3)
         val (crawlDelay, lanes) = hsBc.value.getOrElse(qkey, {
@@ -463,14 +484,14 @@ final class CrawlPipeline(
           val lane = laneAvail.zipWithIndex.minBy { case (t, i) => (t, i) }._2
           val start = laneAvail(lane)
           val path = Urls.pathOf(r.url)
-          val disallows =
-            disallowsOf.getOrElseUpdate(host, f.robotsDisallows(r.url))
+          val robots =
+            rulesOf.getOrElseUpdate(host, f.robotsRules(r.url))
           if (timelimit > 0 && start - now >= timelimit) {
             // T5 timelimit: queue purged once the virtual budget is spent
             // (reference FetcherReducer.java:739-756 feeder drain); the
             // row keeps its frontier state and re-generates next batch
             None
-          } else if (disallows.exists(path.startsWith)) {
+          } else if (!robots.isAllowed(path)) {
             // robots-denied: no request is made — no politeness cost
             Some(FetchResult(r.urlHash, r.url, host, FetchOutcome.Gone,
               "robots/denied", null, null, 0L, Map.empty, r.anchor,

@@ -154,12 +154,12 @@ final class HttpFetcher(cfg: HttpConfig = HttpConfig()) extends Fetcher {
 
   // ------------------------------------------------------------- robots
 
-  def robotsDisallows(url: String): Seq[String] = {
+  def robotsRules(url: String): RobotRules = {
     val auth = authorityOf(url)
     robotsCache.computeIfAbsent(auth, a => fetchRobots(a))
   }
 
-  private def fetchRobots(authority: String): Seq[String] = {
+  private def fetchRobots(authority: String): RobotRules = {
     var conn: HttpURLConnection = null
     try {
       conn = new URI(s"$authority/robots.txt").toURL.openConnection()
@@ -174,9 +174,9 @@ final class HttpFetcher(cfg: HttpConfig = HttpConfig()) extends Fetcher {
             System.nanoTime() + cfg.requestBudgetMs * 1000000L),
           java.nio.charset.StandardCharsets.UTF_8)
         HttpFetcher.parseRobots(txt, cfg.userAgent)
-      } else Nil // 404 (and anything else): allow-all, reference default
+      } else RobotRules.AllowAll // 404 etc.: reference default
     } catch {
-      case _: Exception => Nil
+      case _: Exception => RobotRules.AllowAll
     } finally if (conn != null) conn.disconnect()
   }
 }
@@ -186,27 +186,31 @@ object HttpFetcher {
   // per-executor-JVM shared state: robots rules per authority, last
   // request wall time per host (politeness floor)
   private val robotsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+    new java.util.concurrent.ConcurrentHashMap[String, RobotRules]()
   private val lastHitMs =
     new java.util.concurrent.ConcurrentHashMap[String, Long]()
 
-  /** Minimal robots.txt group parser: consecutive `User-agent` lines open
-    * a group, its `Disallow` values are path PREFIXES (the fetch stage
-    * applies `path.startsWith`). The group matching our agent token wins
-    * over the `*` group; empty Disallow (allow-all) contributes nothing.
-    * (Reference wraps crawler-commons' SimpleRobotRulesParser,
-    * RobotRulesParser.java:414-496 — prefix semantics, no wildcards.)
+  /** Robots.txt group parser: consecutive `User-agent` lines open a
+    * group; its `Allow`/`Disallow` values are path PREFIXES combined by
+    * RobotRules with RFC 9309 longest-match precedence. The group
+    * matching our agent token wins over the `*` group; empty values
+    * contribute nothing. (Reference wraps crawler-commons'
+    * SimpleRobotRulesParser, RobotRulesParser.java:414-496 — prefix
+    * semantics; `*`/`$` wildcards are not interpreted.)
     */
   private[crawl] def parseRobots(txt: String, userAgent: String)
-      : Seq[String] = {
-    final case class Group(agents: List[String], disallows: List[String])
+      : RobotRules = {
+    final case class Group(agents: List[String], allows: List[String],
+        disallows: List[String])
     val groups = scala.collection.mutable.ArrayBuffer[Group]()
     var agents = List.empty[String]
+    var allow = List.empty[String]
     var dis = List.empty[String]
     var openAgents = false
     def flush(): Unit = {
-      if (agents.nonEmpty) groups += Group(agents.reverse, dis.reverse)
-      agents = Nil; dis = Nil
+      if (agents.nonEmpty)
+        groups += Group(agents.reverse, allow.reverse, dis.reverse)
+      agents = Nil; allow = Nil; dis = Nil
     }
     txt.linesIterator.foreach { raw =>
       val line = raw.takeWhile(_ != '#').trim
@@ -222,6 +226,9 @@ object HttpFetcher {
           case "disallow" =>
             if (value.nonEmpty) dis ::= value
             openAgents = false
+          case "allow" =>
+            if (value.nonEmpty) allow ::= value
+            openAgents = false
           case _ =>
             openAgents = false
         }
@@ -231,7 +238,7 @@ object HttpFetcher {
     val ua = userAgent.toLowerCase
     groups.find(_.agents.exists(a => a != "*" && ua.contains(a)))
       .orElse(groups.find(_.agents.contains("*")))
-      .map(_.disallows)
-      .getOrElse(Nil)
+      .map(g => RobotRules(g.allows, g.disallows))
+      .getOrElse(RobotRules.AllowAll)
   }
 }

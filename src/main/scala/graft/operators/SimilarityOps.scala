@@ -202,6 +202,97 @@ object SimilarityOps {
       }
   }
 
+  /** Deterministic spherical k-means over a bounded sample — the IVF
+    * coarse quantizer. Driver-side on purpose: IVF trains on a SAMPLE at
+    * any corpus scale (a 2048x64 double matrix here), so the training
+    * cost is constant while assignment/probing stay fully distributed.
+    * Seeds = the first `nCells` sample rows (the sample itself is
+    * hash-ordered, so seeding is deterministic); `iters` Lloyd rounds
+    * with dot-product assignment over unit vectors.
+    */
+  private[operators] def trainCentroids(sample: Array[Array[Double]],
+      nCells: Int, iters: Int = 8): Array[Array[Double]] = {
+    val dim = sample.head.length
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(dotArr(v, v))
+      if (n == 0) v else v.map(_ / n)
+    }
+    val pts = sample.map(unit)
+    var centroids = pts.take(nCells).map(_.clone)
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(nCells)(new Array[Double](dim))
+      val counts = new Array[Int](nCells)
+      pts.foreach { p =>
+        var best = 0
+        var bestD = Double.NegativeInfinity
+        var c = 0
+        while (c < centroids.length) {
+          val d = dotArr(p, centroids(c))
+          if (d > bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+        counts(best) += 1
+      }
+      centroids = Array.tabulate(nCells)(c =>
+        if (counts(c) == 0) centroids(c) else unit(sums(c)))
+    }
+    centroids
+  }
+
+  /** IVF (inverted-file) ANN — the second classic ANN family next to
+    * LSH: a coarse quantizer of `nCells` spherical-k-means centroids,
+    * every vector assigned to its nearest cell (one narrow map), queries
+    * probing their `nProbe` nearest cells, exact rerank of the cell
+    * members. Candidate generation is an equi-join on the cell id — the
+    * same single-shuffle scale shape as the LSH variant — but the cells
+    * ADAPT to the data distribution, so recall at an equal candidate
+    * budget is typically higher on clustered corpora (asserted vs the
+    * brute-force baseline in OperatorsSpec).
+    */
+  def cosineTopKIvf(s: SparkSession, dir: String, nQueries: Int = 10,
+      k: Int = 5, nCells: Int = 16, nProbe: Int = 4, dim: Int = 64,
+      sampleN: Int = 2048): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    // deterministic bounded training sample: lowest-hash rows
+    val sample = e.withColumn("h", xxhash64(col("vec_id")))
+      .orderBy(col("h")).limit(sampleN)
+      .select(col("v")).as[Array[Double]].collect()
+    val centroids = trainCentroids(sample, nCells)
+    // centroids are tiny (nCells x dim doubles): captured by value in the
+    // task closures — no broadcast bookkeeping needed
+    val nearestCells: (Array[Double], Int) => Seq[Int] = (v, n) => {
+      val nrm = math.sqrt(dotArr(v, v))
+      val u = if (nrm == 0) v else v.map(_ / nrm)
+      centroids.indices.map(c => (dotArr(u, centroids(c)), c))
+        .sortBy { case (d, c) => (-d, c) }.take(n).map(_._2)
+    }
+
+    val cells = e.as[(Long, Array[Double])].map { case (id, v) =>
+      (nearestCells(v, 1).head, id, v, math.sqrt(dotArr(v, v)))
+    }.toDF("cell", "vec_id", "v", "nrm")
+    val probes = e.as[(Long, Array[Double])]
+      .filter(_._1 < nQueries)
+      .flatMap { case (id, v) =>
+        val nrm = math.sqrt(dotArr(v, v))
+        nearestCells(v, nProbe).map(c => (c, id, v, nrm))
+      }.toDF("cell", "query_id", "qv", "qnrm")
+
+    val scored = cells.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("v"), col("qv"), dim) / (col("nrm") * col("qnrm")), 4)
+          .as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id"), col("sim"), col("rn"))
+  }
+
   /** Embedding near-duplicate detection: pairs with cosine >= threshold,
     * LSH-blocked (multi-table), exactly verified within bucket.
     */
@@ -247,5 +338,6 @@ object SimilarityOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cosine_topk" -> ((s, d) => cosineTopK(s, d)),
     "q_cosine_topk_lsh" -> ((s, d) => cosineTopKLsh(s, d)),
+    "q_cosine_topk_ivf" -> ((s, d) => cosineTopKIvf(s, d)),
     "q_embedding_near_dup" -> ((s, d) => embeddingNearDup(s, d)))
 }

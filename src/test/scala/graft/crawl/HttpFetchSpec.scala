@@ -143,18 +143,30 @@ class HttpFetchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(po.status === Parse.StatusTruncated)
   }
 
-  test("robots parsing: group selection, prefix rules, allow-all default") {
-    assert(fetcher().robotsDisallows(s"$base/x.html") ===
-      Seq("/private/", "/also-private"))
+  test("robots parsing: group selection, Allow/Disallow precedence, " +
+    "allow-all default") {
+    val rules = fetcher().robotsRules(s"$base/x.html")
+    assert(rules.disallows === Seq("/private/", "/also-private"))
+    assert(!rules.isAllowed("/private/x.html"))
+    assert(rules.isAllowed("/public.html"))
     // group matching: our agent token beats *, other-bot group ignored
     val txt = "User-agent: graft-crawler\nDisallow: /only-mine\n\n" +
       "User-agent: *\nDisallow: /everyone\n"
-    assert(HttpFetcher.parseRobots(txt, "graft-crawler/0.1") ===
+    assert(HttpFetcher.parseRobots(txt, "graft-crawler/0.1").disallows ===
       Seq("/only-mine"))
-    assert(HttpFetcher.parseRobots(txt, "SomeOtherBot/2") ===
+    assert(HttpFetcher.parseRobots(txt, "SomeOtherBot/2").disallows ===
       Seq("/everyone"))
-    assert(HttpFetcher.parseRobots("User-agent: *\nDisallow:\n", "x") === Nil)
-    assert(HttpFetcher.parseRobots("", "x") === Nil)
+    assert(HttpFetcher.parseRobots("User-agent: *\nDisallow:\n", "x") ===
+      RobotRules.AllowAll)
+    assert(HttpFetcher.parseRobots("", "x") === RobotRules.AllowAll)
+    // RFC 9309 precedence: longest match wins; equal length -> Allow
+    val mixed = HttpFetcher.parseRobots(
+      "User-agent: *\nDisallow: /shop/\nAllow: /shop/public/\n" +
+        "Allow: /tie\nDisallow: /tie\n", "x")
+    assert(!mixed.isAllowed("/shop/cart.html"))
+    assert(mixed.isAllowed("/shop/public/item.html"))
+    assert(mixed.isAllowed("/tiebreak.html")) // equal-length tie -> allow
+    assert(mixed.isAllowed("/elsewhere.html"))
   }
 
   test("politeness floor: same-host requests observe minHostGapMs") {

@@ -116,6 +116,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(approx.forall { case (q, _) => q < 10 })
   }
 
+  test("IVF top-k: adaptive cells beat LSH recall at equal budget; " +
+    "deterministic") {
+    import spark.implicits._
+    val exact = SimilarityOps.cosineTopK(spark, sfDir)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivf = SimilarityOps.cosineTopKIvf(spark, sfDir)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    // the synthetic embeddings are cluster-structured — the adaptive
+    // quantizer should recover most of the exact top-k with 4/16 cells
+    assert(recall >= 0.5, s"IVF recall $recall")
+    // deterministic end to end (sample order, seeding, Lloyd rounds)
+    val again = SimilarityOps.cosineTopKIvf(spark, sfDir)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(again === ivf)
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     import spark.implicits._
     // max pairwise cosine in the synthetic embeddings is ~0.51; 0.3
