@@ -33,8 +33,16 @@ final case class Commit(
     // merge-on-read lineage (Iceberg MoR contract): the frontier state is
     // base ∖ delta-keys ∪ deltas (latest delta wins per key). Empty for
     // full snapshots; bounded by the compaction interval otherwise.
-    deltaPaths: Seq[String] = Nil) {
+    deltaPaths: Seq[String] = Nil,
+    // URL-seen bloom sidecars (per-bucket filters as (bucket, bytes)
+    // parquet): the chain of bloom files covering every key in this
+    // state. Maintained INCREMENTALLY — inject writes the first file,
+    // each updatedb appends a delta-sized file for its new rows, and
+    // compaction rebuilds a single fresh file — so no stage ever
+    // re-scans the full frontier just to build filters.
+    bloomPaths: Seq[String] = Nil) {
   def deltas: Seq[String] = Option(deltaPaths).getOrElse(Nil)
+  def blooms: Seq[String] = Option(bloomPaths).getOrElse(Nil)
 }
 
 final class CommitLog(root: String) {

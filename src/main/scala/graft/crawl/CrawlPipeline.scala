@@ -150,7 +150,10 @@ final class CrawlPipeline(
     val seq = log.nextSeq()
     val path = snapshotDir(seq)
     val out = writeFrontier(rows, path)
-    commitStage(seq, "b0", "inject", path, out, now)
+    val bloomPath = writeBlooms(readFrontier(path),
+      s"$root/blooms/$seq", out.values.sum)
+    commitStage(seq, "b0", "inject", path, out, now,
+      bloomPaths = Seq(bloomPath))
     readFrontier(path)
   }
 
@@ -314,17 +317,54 @@ final class CrawlPipeline(
             writeSnapshotNoExchange(baseUntouched.as[CrawlRow], latest, path,
               c.frontierPath)
         latest.unpersist()
+        val bloomPath = writeBlooms(readFrontier(path),
+          s"$root/blooms/$seq", counts.values.sum)
         commitStage(seq, c.batchId, "compact", path, counts, now,
-          Map("compactWallMs" -> ((System.nanoTime() - t0) / 1e6)))
+          Map("compactWallMs" -> ((System.nanoTime() - t0) / 1e6)),
+          bloomPaths = Seq(bloomPath))
       }
     }
 
   private def commitStage(seq: Long, batchId: String, stage: String,
       frontierPath: String, partCounts: Map[String, Long], now: Long,
       metrics: Map[String, Double] = Map.empty,
-      deltaPaths: Seq[String] = Nil): Commit =
+      deltaPaths: Seq[String] = Nil,
+      bloomPaths: Seq[String] = Nil): Commit =
     log.append(Commit(seq, batchId, stage, "complete", frontierPath,
-      partCounts.values.sum, partCounts, metrics, now, deltaPaths))
+      partCounts.values.sum, partCounts, metrics, now, deltaPaths,
+      bloomPaths))
+
+  /** Build per-bucket URL-seen bloom filters over `rows` and persist
+    * them as a (bucket, bytes) parquet sidecar. Built DISTRIBUTED (each
+    * task folds its slice into local filters; a bucket may yield several
+    * partial filters — membership is exists(_), exactness never depends
+    * on them). `expectedKeys` sizes the filters; an under-estimate only
+    * raises the false-positive rate, which just sends more rows through
+    * the exact anti-join.
+    */
+  private def writeBlooms(rows: Dataset[CrawlRow], path: String,
+      expectedKeys: Long): String = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val perBucketExpected =
+      math.max(64L, 2L * expectedKeys / math.max(1, numBuckets))
+    rows.select(col("bucket"), col("urlHash")).as[(Int, Long)]
+      .mapPartitions { it =>
+        val fs = scala.collection.mutable.Map[Int, BloomFilter]()
+        it.foreach { case (b, h) =>
+          fs.getOrElseUpdate(b,
+            BloomFilter.create(perBucketExpected, 0.03)).putLong(h)
+        }
+        fs.iterator.map { case (b, f) =>
+          val bos = new java.io.ByteArrayOutputStream()
+          f.writeTo(bos)
+          (b, bos.toByteArray)
+        }
+      }
+      .toDF("bucket", "bytes")
+      .coalesce(1) // sidecars are small; one file per generation
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    path
+  }
 
   // -------------------------------------------------------------- generate
 
@@ -842,38 +882,27 @@ final class CrawlPipeline(
     // optimization gate, never the source of truth — exactness comes from
     // the anti-join on the (much smaller) mightContain subset.
     //
-    // Scale shape: the filters are PER-BUCKET and built distributed — each
-    // task folds its (bucket-partitioned) frontier slice into local
-    // filters, and discoveries cogroup with their own bucket's filters.
-    // No merged whole-frontier filter ever lands on the driver (the old
-    // df.stat.bloomFilter treeAggregate would hold ~9 GB on the driver at
-    // 10^10 keys / 0.03 fpp); peak memory anywhere is one bucket's filter.
+    // Scale shape: the filters are PER-BUCKET, built distributed, and
+    // maintained INCREMENTALLY as persisted sidecars — inject writes the
+    // first generation, each batch appends a delta-sized generation for
+    // its new rows, compaction rebuilds one fresh generation. updatedb
+    // therefore never re-scans the frontier to build filters (the
+    // round-2 shape paid a full frontier pass per batch — the dominant
+    // updatedb cost at 10^10 rows). A key lives in >=1 generation, so
+    // might-contain = exists over the chain's filters for the bucket;
+    // chain length is bounded by compactEvery, and the unioned fpp
+    // (~0.03 * chain) only widens the exact anti-join's input.
     discAgg.persist() // consumed by both bloom branches
+    val prev = lastState()
+    val bloomChain = prev.map(_.blooms).getOrElse(Nil)
     val newDiscoveries =
       if (!additions) spark.emptyDataset[Discovered]
-      else if (useBloomSeenFilter) {
+      else if (useBloomSeenFilter && bloomChain.nonEmpty) {
         import org.apache.spark.util.sketch.BloomFilter
-        // size per-bucket filters from the commit log's lineage instead
-        // of a frontier re-count (one less full scan)
-        val frontierCount = lastState().map(_.rowCount).getOrElse(1000L)
-        val perBucketExpected =
-          math.max(64L, 2L * frontierCount / math.max(1, numBuckets))
-        val blooms = frontier
-          .select(col("bucket"), col("urlHash")).as[(Int, Long)]
-          .mapPartitions { it =>
-            val fs = scala.collection.mutable.Map[Int, BloomFilter]()
-            it.foreach { case (b, h) =>
-              fs.getOrElseUpdate(b,
-                BloomFilter.create(perBucketExpected, 0.03)).putLong(h)
-            }
-            fs.iterator.map { case (b, f) =>
-              val bos = new java.io.ByteArrayOutputStream()
-              f.writeTo(bos)
-              (b, bos.toByteArray)
-            }
-          }
-        // a bucket may yield several partial filters (file splits); a key
-        // is in exactly one of them, so might-contain = exists(_)
+        val blooms = bloomChain
+          .map(p => spark.read.parquet(p))
+          .reduce(_ unionByName _)
+          .select(col("bucket"), col("bytes")).as[(Int, Array[Byte])]
         val checked = discAgg
           .groupByKey(_.bucket)
           .cogroup(blooms.groupByKey(_._1)) { (_, discs, bs) =>
@@ -913,7 +942,6 @@ final class CrawlPipeline(
     // batch made the snapshot exchange the merge stage's scaling
     // bottleneck (0.60 efficiency); here the per-batch merge cost is
     // O(delta) and the full-width exchange is amortized over the chain.
-    val prev = lastState()
     val chainLen = prev.map(_.deltas.size).getOrElse(0)
     val seq = log.nextSeq()
     val t0 = System.nanoTime()
@@ -946,10 +974,15 @@ final class CrawlPipeline(
             writeSnapshotNoExchange(baseUntouched.as[CrawlRow], latest, path,
               basePath)
         latest.unpersist()
+        // compaction resets the bloom chain: one fresh generation over
+        // the new snapshot (the only full bloom build after inject)
+        val bloomPath = writeBlooms(readFrontier(path),
+          s"$root/blooms/$seq", counts.values.sum)
         val mergeMs = (System.nanoTime() - t0) / 1e6
         commitStage(seq, batchId, "updatedb", path, counts, now,
           Map("mergeWallMs" -> mergeMs,
-            "compacted" -> (if (major) 2.0 else 1.0)))
+            "compacted" -> (if (major) 2.0 else 1.0)),
+          bloomPaths = Seq(bloomPath))
       } else {
         val deltaPath = s"$root/frontier/delta-$seq"
         delta.repartition(math.max(1, numBuckets / 8), col("bucket"))
@@ -966,8 +999,15 @@ final class CrawlPipeline(
           .groupBy(col("bucket")).count().as[(Int, Long)].collect()
           .map { case (b, c) => b.toString -> c }.toMap
         val total = prev.map(_.rowCount).getOrElse(0L) + deltaCounts.values.sum
+        // incremental seen-set: a delta-sized bloom generation over this
+        // batch's delta rows (changed rows re-add already-seen keys —
+        // a harmless superset) appended to the chain
+        val blooms = prev.map(_.blooms).getOrElse(Nil) :+
+          writeBlooms(spark.read.parquet(deltaPath).as[CrawlRow],
+            s"$root/blooms/$seq", deltaCounts.values.sum)
         log.append(Commit(seq, batchId, "updatedb", "complete", basePath,
-          total, deltaCounts, Map("mergeWallMs" -> mergeMs), now, deltas))
+          total, deltaCounts, Map("mergeWallMs" -> mergeMs), now, deltas,
+          blooms))
       }
     discAgg.unpersist()
     viewOf(result)
