@@ -71,9 +71,14 @@ object MultimodalOps {
     * bytes: images (png/jpeg), audio (PCM16 WAV of a seeded sine), video
     * (motion-JPEG AVI of seeded frames).
     */
-  def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRow] = {
+  def syntheticMedia(spark: SparkSession, n: Int,
+      only: Set[String] = Set.empty): Dataset[MediaRow] = {
     import spark.implicits._
-    spark.range(n).map { i =>
+    // `only` prunes PAYLOAD SYNTHESIS to the requested kinds — encoding
+    // images/AVIs a query never reads dominated q_audio_stats' cost
+    spark.range(n)
+      .filter(i => only.isEmpty || only.contains(specOf(i)._1))
+      .map { i =>
       val seed = graft.core.XxHash64.hashLong(i, 11L)
       specOf(i) match {
         case ("image", w, h, fmt) =>
@@ -207,7 +212,7 @@ object MultimodalOps {
     */
   def audioStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val media = syntheticMedia(spark, 400)
+    val media = syntheticMedia(spark, 400, only = Set("audio"))
     audioFeatures(media)
       .select(col("media_id"), col("sample_rate"),
         round(col("duration_sec"), 4).as("dur_sec"))
@@ -218,7 +223,7 @@ object MultimodalOps {
     */
   def videoStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val media = syntheticMedia(spark, 400)
+    val media = syntheticMedia(spark, 400, only = Set("video"))
     media.filter(_.kind == "video").map { r =>
       val frames = MediaCodec.parseAviFrames(r.bytes)
       val (_, w, h) = ImageCodec.decodePixels(frames.head)
