@@ -10,8 +10,11 @@ import graft.core.{CrawlStatus, FetchOutcome, Schedule, ScheduleConfig, Urls, Xx
 /** Parsed robots.txt rules with RFC 9309 precedence: the longest
   * matching path prefix wins; on equal length Allow wins; no match =>
   * allowed. The empty rule set is allow-all (missing robots.txt).
+  * `crawlDelayMs` carries the group's `Crawl-delay` directive (reference
+  * RobotRulesParser.java:369-380 getCrawlDelay); -1 = not declared.
   */
-final case class RobotRules(allows: Seq[String], disallows: Seq[String])
+final case class RobotRules(allows: Seq[String], disallows: Seq[String],
+    crawlDelayMs: Long = -1L)
     extends Serializable {
   def isAllowed(path: String): Boolean = {
     var bestAllow = -1
@@ -106,6 +109,11 @@ final class CrawlPipeline(
   @transient private val trieBc =
     spark.sparkContext.broadcast(configs)
   private val hasPerSiteCaps = configs ne graft.core.ConfigTrie.empty
+
+  /** Bucket count of this frontier (ReadApi derives partition-pruning
+    * predicates from it).
+    */
+  def bucketCount: Int = numBuckets
 
   private def snapshotDir(seq: Long): String =
     s"$root/frontier/snapshot-$seq"
@@ -361,7 +369,12 @@ final class CrawlPipeline(
         }
       }
       .toDF("bucket", "bytes")
-      .coalesce(1) // sidecars are small; one file per generation
+      // repartition (NOT coalesce): a coalesce(1) here is a narrow
+      // dependency that would collapse the whole scan+fold into ONE task
+      // holding every bucket's filter; the shuffle barrier keeps the fold
+      // distributed and only the small serialized filters move to the
+      // single writer task
+      .repartition(1)
       .write.mode(SaveMode.Overwrite).parquet(path)
     path
   }
@@ -376,15 +389,56 @@ final class CrawlPipeline(
     */
   def generate(frontier: Dataset[CrawlRow], batchId: String, now: Long,
       topN: Int, maxPerHost: Int): Dataset[CrawlRow] = {
+    val listFinal = fetchlistPlan(frontier, batchId, now, topN, maxPerHost)
+
+    val path = s"$root/batches/$batchId/fetchlist"
+    // limit() collapses to one partition; spread the fetchlist by host so
+    // the fetch stage's shuffle-write side is parallel, not one task
+    listFinal.repartition(numBuckets, col("host"))
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    val out = spark.read.parquet(path).as[CrawlRow]
+    val counts = out.groupBy("bucket").count().as[(Int, Long)].collect()
+      .map { case (b, c) => b.toString -> c }.toMap
+    commitStage(log.nextSeq(), batchId, "generate",
+      lastState().map(_.frontierPath).getOrElse(""), counts, now)
+    out
+  }
+
+  /** The fetchlist as an UNEXECUTED plan (split from [[generate]] so specs
+    * can assert on its physical shape: with no per-site config the whole
+    * chain — eligibility cascade, per-host cap, topN, lastBatch stamp —
+    * must plan with zero `DeserializeToObject` over the frontier).
+    */
+  private[crawl] def fetchlistPlan(frontier: Dataset[CrawlRow],
+      batchId: String, now: Long, topN: Int, maxPerHost: Int)
+      : Dataset[CrawlRow] = {
     val retryMax = scheduleCfg.retryMax
     val maxIntervalMs = scheduleCfg.maxIntervalSec * 1000L
     val clampedInterval = (scheduleCfg.maxIntervalSec * 0.9).toInt
     val depthCap = maxDepth
     val trie = trieBc
 
-    // F1 eligibility cascade as a typed filter + O3 max-interval clamp;
-    // F4/F5: config-trie depth override + per-node sub-filters
-    val eligible = frontier.flatMap { r =>
+    // F1 eligibility cascade + O3 max-interval clamp. With no per-site
+    // config (the common full-scale case) every check is a pure Column
+    // expression, so the ONLY per-batch full-frontier pass stays inside
+    // WholeStageCodegen with no object decode — same two-form pattern as
+    // mergeColumnar, pinned by the same parity spec. The trie path keeps
+    // the typed cascade (F4/F5: depth override + per-node sub-filters).
+    val eligible: Dataset[CrawlRow] = if (!hasPerSiteCaps) {
+      val overdue = col("fetchTime") - lit(now) > lit(maxIntervalMs)
+      frontier
+        .filter(col("status") =!= lit(CrawlStatus.Gone) &&
+          col("retries") <= lit(retryMax) &&
+          col("distance") <= lit(depthCap) &&
+          (col("fetchTime") <= lit(now) || overdue))
+        // order matters: rewrite fetchInterval while fetchTime still holds
+        // the original value `overdue` tests, then clamp fetchTime
+        .withColumn("fetchInterval",
+          when(overdue, lit(clampedInterval)).otherwise(col("fetchInterval")))
+        .withColumn("fetchTime",
+          when(overdue, lit(now)).otherwise(col("fetchTime")))
+        .as[CrawlRow]
+    } else frontier.flatMap { r =>
       val cfg = trie.value.configOrDefault(r.url)
       val effDepth =
         if (cfg.fetchDepth != Int.MaxValue) cfg.fetchDepth else depthCap
@@ -426,23 +480,13 @@ final class CrawlPipeline(
         .filter(col("rn") <= col("cap"))
         .select(col("row.*"))
     }
-    val listFinal = list
+    // lastBatch stamp as a literal column (not a typed map) — keeps the
+    // tail of the plan object-free too
+    list
       .orderBy(col("score").desc, col("url").asc)
       .limit(topN)
+      .withColumn("lastBatch", lit(batchId))
       .as[CrawlRow]
-      .map(_.copy(lastBatch = batchId))
-
-    val path = s"$root/batches/$batchId/fetchlist"
-    // limit() collapses to one partition; spread the fetchlist by host so
-    // the fetch stage's shuffle-write side is parallel, not one task
-    listFinal.repartition(numBuckets, col("host"))
-      .write.mode(SaveMode.Overwrite).parquet(path)
-    val out = spark.read.parquet(path).as[CrawlRow]
-    val counts = out.groupBy("bucket").count().as[(Int, Long)].collect()
-      .map { case (b, c) => b.toString -> c }.toMap
-    commitStage(log.nextSeq(), batchId, "generate",
-      lastState().map(_.frontierPath).getOrElse(""), counts, now)
-    out
   }
 
   // ----------------------------------------------------------------- fetch
@@ -539,7 +583,10 @@ final class CrawlPipeline(
           } else {
             val delay = f.delayMs(r.url)
             val end = start + delay
-            laneAvail(lane) = end + crawlDelay
+            // a robots-declared Crawl-delay raises the politeness floor
+            // for its host above the config/hostdb delay (reference
+            // FetcherReducer queue setup reads getCrawlDelay)
+            laneAvail(lane) = end + math.max(crawlDelay, robots.crawlDelayMs)
             Some(f.fetch(r.url) match {
               case RawPage(ct, headers, bytes, declaredLen) =>
                 FetchResult(r.urlHash, r.url, host, FetchOutcome.Success,

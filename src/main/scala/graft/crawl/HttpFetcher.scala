@@ -45,9 +45,10 @@ final case class HttpConfig(
   *  - 404/410 and other 4xx -> RawNotFound (Gone);
   *  - 5xx, connect/read timeouts, budget overruns, IO errors ->
   *    RawServerError (RetryTransient — retried with backoff by updatedb);
-  *  - robots.txt fetched once per authority per executor (concurrent
-  *    LRU-less cache; robots are per-HOST even under byDomain/byIP queue
-  *    modes, matching RobotRulesParser's cache keying).
+  *  - robots.txt fetched once per authority per executor (bounded LRU
+  *    cache; robots are per-HOST even under byDomain/byIP queue
+  *    modes, matching RobotRulesParser's cache keying); a declared
+  *    `Crawl-delay` raises the wall-clock politeness floor.
   *
   * The robots and politeness caches live on the companion object — one
   * per executor JVM, shared by every deserialized closure copy, never
@@ -70,10 +71,10 @@ final class HttpFetcher(cfg: HttpConfig = HttpConfig()) extends Fetcher {
   }
 
   def fetch(url: String): RawResponse = {
-    politeWait(Urls.host(url))
     val deadlineNs = System.nanoTime() + cfg.requestBudgetMs * 1000000L
     var conn: HttpURLConnection = null
     try {
+      politeWait(Urls.host(url), authorityOf(url))
       conn = new URI(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
       conn.setInstanceFollowRedirects(false)
       conn.setConnectTimeout(cfg.connectTimeoutMs)
@@ -96,6 +97,10 @@ final class HttpFetcher(cfg: HttpConfig = HttpConfig()) extends Fetcher {
           redirectOf(conn, url, perm = true)
         case 302 | 303 | 307 =>
           redirectOf(conn, url, perm = false)
+        // 408/429 are transient (the server is rate-limiting or timed the
+        // request out) — marking them Gone would permanently drop URLs a
+        // polite retry would recover; route to RetryTransient backoff
+        case 408 | 429 => RawServerError
         case c if c >= 400 && c < 500 => RawNotFound
         case _ => RawServerError
       }
@@ -143,20 +148,39 @@ final class HttpFetcher(cfg: HttpConfig = HttpConfig()) extends Fetcher {
     bos.toByteArray
   }
 
-  private def politeWait(host: String): Unit = {
-    if (cfg.minHostGapMs <= 0) return
-    val now = System.currentTimeMillis()
-    val last = lastHitMs.getOrDefault(host, 0L)
-    val wait = last + cfg.minHostGapMs - now
+  /** Wall-clock politeness floor. The gap is the larger of the configured
+    * `minHostGapMs` and the host's robots-declared Crawl-delay (consulted
+    * from the CACHE only — `robotsRules` populates it; a bare `fetch`
+    * call that never consulted robots pays just the configured floor).
+    *
+    * Race-free: each caller atomically CLAIMS the next allowed start slot
+    * (`max(now, lastSlot + gap)`) under the map's lock, then sleeps until
+    * its slot — two threads hitting one host serialize at `gap` spacing
+    * instead of both reading a stale timestamp and firing together.
+    */
+  private def politeWait(host: String, authority: String): Unit = {
+    val robotsGap =
+      robotsCache.get(authority).map(_.crawlDelayMs).getOrElse(-1L)
+    val gap = math.max(cfg.minHostGapMs, robotsGap)
+    if (gap <= 0) return
+    val slot = lastHitMs.compute(host) { prev =>
+      math.max(System.currentTimeMillis(), prev.getOrElse(0L) + gap)
+    }
+    val wait = slot - System.currentTimeMillis()
     if (wait > 0) Thread.sleep(wait)
-    lastHitMs.put(host, System.currentTimeMillis())
   }
 
   // ------------------------------------------------------------- robots
 
   def robotsRules(url: String): RobotRules = {
     val auth = authorityOf(url)
-    robotsCache.computeIfAbsent(auth, a => fetchRobots(a))
+    robotsCache.get(auth) match {
+      case Some(r) => r
+      // fetch OUTSIDE the cache lock (a slow robots server must not
+      // serialize every other authority's lookup); a concurrent duplicate
+      // fetch is tolerated and putIfAbsent keeps the first result
+      case None => robotsCache.putIfAbsent(auth, fetchRobots(auth))
+    }
   }
 
   private def fetchRobots(authority: String): RobotRules = {
@@ -183,34 +207,62 @@ final class HttpFetcher(cfg: HttpConfig = HttpConfig()) extends Fetcher {
 
 object HttpFetcher {
 
+  /** Thread-safe bounded LRU (access-ordered `LinkedHashMap`) — the
+    * executor-JVM caches below live for the executor's whole lifetime and
+    * see millions of hosts at web scale; unbounded maps are a slow OOM.
+    * (Reference bounds its HostDb cache the same way: Guava LRU,
+    * `hostdb.lru.size`, host/HostDb.java:74-94.)
+    */
+  private[crawl] final class LruMap[K, V](maxEntries: Int) {
+    private val m = new java.util.LinkedHashMap[K, V](64, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[K, V]) =
+        this.size > maxEntries
+    }
+    def get(k: K): Option[V] = m.synchronized(Option(m.get(k)))
+    def putIfAbsent(k: K, v: V): V = m.synchronized {
+      val prev = m.get(k)
+      if (prev == null) { m.put(k, v); v } else prev
+    }
+    def compute(k: K)(f: Option[V] => V): V = m.synchronized {
+      val v = f(Option(m.get(k))); m.put(k, v); v
+    }
+    def size: Int = m.synchronized(m.size)
+  }
+
   // per-executor-JVM shared state: robots rules per authority, last
-  // request wall time per host (politeness floor)
-  private val robotsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, RobotRules]()
-  private val lastHitMs =
-    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+  // claimed request slot per host (politeness floor). Bounded: evicting
+  // a hot entry only re-fetches robots / resets one host's floor.
+  private val robotsCache = new LruMap[String, RobotRules](8192)
+  private val lastHitMs = new LruMap[String, Long](8192)
 
   /** Robots.txt group parser: consecutive `User-agent` lines open a
     * group; its `Allow`/`Disallow` values are path PREFIXES combined by
-    * RobotRules with RFC 9309 longest-match precedence. The group
-    * matching our agent token wins over the `*` group; empty values
-    * contribute nothing. (Reference wraps crawler-commons'
+    * RobotRules with RFC 9309 longest-match precedence; `Crawl-delay`
+    * (seconds, fractional ok) rides on the group and feeds the politeness
+    * floor (reference RobotRulesParser.java:369-380 getCrawlDelay).
+    *
+    * Group selection is RFC 9309 §2.2.1: the group whose agent token is
+    * the LONGEST match against our product token wins (a generic `bot`
+    * group earlier in the file must not shadow a specific
+    * `graft-crawler` group); ties break by file order; fall back to the
+    * `*` group. (Reference wraps crawler-commons'
     * SimpleRobotRulesParser, RobotRulesParser.java:414-496 — prefix
     * semantics; `*`/`$` wildcards are not interpreted.)
     */
   private[crawl] def parseRobots(txt: String, userAgent: String)
       : RobotRules = {
     final case class Group(agents: List[String], allows: List[String],
-        disallows: List[String])
+        disallows: List[String], delayMs: Long)
     val groups = scala.collection.mutable.ArrayBuffer[Group]()
     var agents = List.empty[String]
     var allow = List.empty[String]
     var dis = List.empty[String]
+    var delayMs = -1L
     var openAgents = false
     def flush(): Unit = {
       if (agents.nonEmpty)
-        groups += Group(agents.reverse, allow.reverse, dis.reverse)
-      agents = Nil; allow = Nil; dis = Nil
+        groups += Group(agents.reverse, allow.reverse, dis.reverse, delayMs)
+      agents = Nil; allow = Nil; dis = Nil; delayMs = -1L
     }
     txt.linesIterator.foreach { raw =>
       val line = raw.takeWhile(_ != '#').trim
@@ -229,6 +281,10 @@ object HttpFetcher {
           case "allow" =>
             if (value.nonEmpty) allow ::= value
             openAgents = false
+          case "crawl-delay" =>
+            value.toDoubleOption.filter(d => d >= 0 && d.isFinite)
+              .foreach(d => delayMs = (d * 1000).toLong)
+            openAgents = false
           case _ =>
             openAgents = false
         }
@@ -236,9 +292,14 @@ object HttpFetcher {
     }
     flush()
     val ua = userAgent.toLowerCase
-    groups.find(_.agents.exists(a => a != "*" && ua.contains(a)))
+    val named = for {
+      g <- groups.toSeq
+      a <- g.agents
+      if a != "*" && ua.contains(a)
+    } yield (a.length, g)
+    named.sortBy(-_._1).headOption.map(_._2) // stable sort: order breaks ties
       .orElse(groups.find(_.agents.contains("*")))
-      .map(g => RobotRules(g.allows, g.disallows))
+      .map(g => RobotRules(g.allows, g.disallows, g.delayMs))
       .getOrElse(RobotRules.AllowAll)
   }
 }

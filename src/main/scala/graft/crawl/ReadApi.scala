@@ -74,9 +74,15 @@ final class ReadApi(pipeline: CrawlPipeline, port: Int = 0) {
         params(x).get("url") match {
           case None => respond(x, 400, """{"error":"url required"}""")
           case Some(u) =>
-            // point lookup: equality filter pushes to the parquet scan
-            frontier().filter(col("url") === u).limit(1)
-              .collect().headOption match {
+            // point lookup: the bucket is a pure function of the URL's
+            // host, so deriving it on the driver partition-prunes the
+            // MoR base scan to ONE bucket directory — O(1 bucket) per
+            // lookup instead of O(frontier); the url equality filter
+            // then pushes into that bucket's parquet scan
+            val b = Keys.bucketOf(graft.core.Urls.host(u),
+              pipeline.bucketCount)
+            frontier().filter(col("bucket") === b && col("url") === u)
+              .limit(1).collect().headOption match {
               case Some(r) => respond(x, 200, rowJson(r))
               case None => respond(x, 404, """{"error":"not found"}""")
             }

@@ -47,6 +47,38 @@ class CrawlParitySpec extends AnyFunSuite {
         s"(spark=${sparkSeen.size} sim=${simSeen.size})")
   }
 
+  test("generate plans object-free with no per-site config " +
+    "(columnar F1 cascade + WindowGroupLimit, no DeserializeToObject)") {
+    val pipeline = new CrawlPipeline(spark, root, webCfg, numBuckets = 8)
+    val plan = pipeline
+      .fetchlistPlan(pipeline.frontierState(), "bX",
+        1700000000000L, topN, maxPerHost)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("DeserializeToObject"),
+      s"frontier rows decoded to objects in generate:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-host cap did not plan as WindowGroupLimit:\n$plan")
+  }
+
+  test("columnar and typed eligibility cascades agree row-for-row") {
+    // same trick as the merge parity: force the typed path with a config
+    // trie that changes NOTHING (empty rules on an unrelated host), then
+    // pin both forms to identical fetchlists over the same frontier
+    val pipeline = new CrawlPipeline(spark, root, webCfg, numBuckets = 8)
+    val noopTrie = graft.core.ConfigTrie.build(
+      Seq("http://never-crawled.example/" -> graft.core.SiteConfig(cfgId = 9)))
+    val typed = new CrawlPipeline(spark, root, webCfg, numBuckets = 8,
+      configs = noopTrie)
+    val now = 1700000000000L
+    val frontier = pipeline.frontierState()
+    val a = pipeline.fetchlistPlan(frontier, "bX", now, topN, maxPerHost)
+      .collect().map(r => (r.url, r.fetchTime, r.fetchInterval)).sortBy(_._1)
+    val b = typed.fetchlistPlan(typed.frontierState(), "bX", now, topN,
+      maxPerHost)
+      .collect().map(r => (r.url, r.fetchTime, r.fetchInterval)).sortBy(_._1)
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("crawl ordering parity: per-batch (fetchStart, url) sequence matches") {
     val simOrder = sim.fetchLog.toSeq
     val sparkOrder = (1 to depth).flatMap { i =>

@@ -88,6 +88,8 @@ class HttpFetchSpec extends AnyFunSuite with BeforeAndAfterAll {
           send(x, 301, Array.emptyByteArray,
             "Location" -> s"$base/a.html")
         case "/gone" => send(x, 404, page("nope"))
+        case "/ratelimited" => send(x, 429, page("slow down"))
+        case "/reqtimeout" => send(x, 408, page("too late"))
         case "/err" => send(x, 500, page("boom"))
         case "/slow" =>
           Thread.sleep(1500) // beyond the 300ms read timeout
@@ -167,6 +169,101 @@ class HttpFetchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mixed.isAllowed("/shop/public/item.html"))
     assert(mixed.isAllowed("/tiebreak.html")) // equal-length tie -> allow
     assert(mixed.isAllowed("/elsewhere.html"))
+  }
+
+  test("4xx mapping: 429/408 are transient (retry), not Gone") {
+    val f = fetcher()
+    assert(f.fetch(s"$base/ratelimited") === RawServerError)
+    assert(f.fetch(s"$base/reqtimeout") === RawServerError)
+    assert(f.fetch(s"$base/gone") === RawNotFound) // 404 stays Gone
+  }
+
+  test("robots group selection: longest agent-token match beats an " +
+    "earlier generic group (RFC 9309)") {
+    // a generic `bot` group FIRST in the file must not shadow the more
+    // specific `graft-crawler` group below it
+    val txt = "User-agent: bot\nDisallow: /generic\n\n" +
+      "User-agent: graft-crawler\nDisallow: /specific\n\n" +
+      "User-agent: *\nDisallow: /star\n"
+    assert(HttpFetcher.parseRobots(txt, "graft-crawler/0.1").disallows ===
+      Seq("/specific"))
+    // an agent matching only the generic token still gets that group
+    assert(HttpFetcher.parseRobots(txt, "somebot/9").disallows ===
+      Seq("/generic"))
+  }
+
+  test("robots Crawl-delay: parsed into crawlDelayMs, fractional ok, " +
+    "group-scoped") {
+    val txt = "User-agent: graft-crawler\nCrawl-delay: 0.25\n" +
+      "Disallow: /x\n\nUser-agent: *\nCrawl-delay: 7\n"
+    assert(HttpFetcher.parseRobots(txt, "graft-crawler/0.1").crawlDelayMs
+      === 250L)
+    assert(HttpFetcher.parseRobots(txt, "other/1").crawlDelayMs === 7000L)
+    assert(HttpFetcher.parseRobots("User-agent: *\nDisallow: /a\n", "x")
+      .crawlDelayMs === -1L)
+    // junk values are ignored, not crashes
+    assert(HttpFetcher.parseRobots(
+      "User-agent: *\nCrawl-delay: soon\n", "x").crawlDelayMs === -1L)
+  }
+
+  test("robots Crawl-delay feeds the wall-clock politeness floor") {
+    // second server = distinct authority, so the JVM-global robots cache
+    // entry is exclusively this test's
+    val srv = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val hits = new ConcurrentLinkedQueue[Long]()
+    srv.createContext("/", (x: HttpExchange) => {
+      if (x.getRequestURI.getPath == "/robots.txt")
+        send(x, 200, page("User-agent: *\nCrawl-delay: 0.2\n"),
+          "Content-Type" -> "text/plain")
+      else {
+        hits.add(System.currentTimeMillis())
+        send(x, 200, page("<html>ok</html>"), "Content-Type" -> "text/html")
+      }
+    })
+    srv.start()
+    try {
+      val b2 = s"http://127.0.0.1:${srv.getAddress.getPort}"
+      val f = new HttpFetcher(HttpConfig(readTimeoutMs = 2000)) // no cfg gap
+      assert(f.robotsRules(s"$b2/p.html").crawlDelayMs === 200L)
+      f.fetch(s"$b2/p1.html"); f.fetch(s"$b2/p2.html")
+      val times = hits.toArray(Array.empty[java.lang.Long]).map(_.longValue)
+      assert(times.length === 2)
+      assert(times(1) - times(0) >= 150,
+        s"gap ${times(1) - times(0)}ms under the robots-declared 200ms")
+    } finally srv.stop(0)
+  }
+
+  test("LruMap: bounded, access-ordered eviction") {
+    val m = new HttpFetcher.LruMap[String, Int](2)
+    m.putIfAbsent("a", 1); m.putIfAbsent("b", 2)
+    m.get("a") // touch a -> b is now eldest
+    m.putIfAbsent("c", 3) // evicts b
+    assert(m.get("a").contains(1))
+    assert(m.get("b").isEmpty)
+    assert(m.get("c").contains(3))
+    assert(m.size === 2)
+    // compute claims through the same bound
+    m.compute("d")(_ => 4)
+    assert(m.size === 2)
+  }
+
+  test("politeness floor holds under CONCURRENT same-host callers " +
+    "(slot claim is atomic)") {
+    val f = new HttpFetcher(HttpConfig(minHostGapMs = 100,
+      readTimeoutMs = 2000))
+    requests.clear()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val futures = (1 to 4).map(_ => pool.submit(new Runnable {
+      def run(): Unit = { f.fetch(s"$base/gone"); () }
+    }))
+    futures.foreach(_.get())
+    pool.shutdown()
+    val times = requests.toArray(Array.empty[(String, Long)])
+      .map(_._2).sorted
+    assert(times.length === 4)
+    times.sliding(2).foreach { case Array(a, b) =>
+      assert(b - a >= 60, s"concurrent gap ${b - a}ms under the 100ms floor")
+    }
   }
 
   test("politeness floor: same-host requests observe minHostGapMs") {
