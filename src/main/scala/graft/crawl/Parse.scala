@@ -220,21 +220,29 @@ object Parse {
     * Content-Length header value for the truncation check
     * (reference ParserJob isTruncated; parser.skip.truncated=true —
     * truncated pages are not parsed, so they contribute no outlinks).
+    *
+    * Dispatches on content type through [[PayloadParsers]] (reference
+    * parse/ParserFactory.java:87): HTML/XHTML, JSON, XML/feeds, plain
+    * text, PDF and ZIP all contribute text; types with no parser (images,
+    * audio, video — the payload path owns those) stay StatusNotParsed.
     */
   def page(url: String, contentType: String, headers: Map[String, String],
       bytes: Array[Byte], declaredLength: Long): ParseOut = {
     if (bytes == null) return ParseOut(Map.empty, "", StatusFailed)
     if (declaredLength >= 0 && bytes.length < declaredLength)
       return ParseOut(Map.empty, "", StatusTruncated)
-    if (contentType == null || !contentType.startsWith("text/html"))
-      return ParseOut(Map.empty, "", StatusNotParsed)
-    val decoded =
-      if (headers.get("content-encoding").contains("gzip"))
-        try gunzip(bytes)
-        catch { case _: Exception =>
-          return ParseOut(Map.empty, "", StatusFailed) }
-      else bytes
-    val html = new String(decoded, detectCharset(contentType, decoded))
-    ParseOut(extractLinks(html, url).toMap, extractText(html), StatusOk)
+    PayloadParsers.forType(contentType) match {
+      case None => ParseOut(Map.empty, "", StatusNotParsed)
+      case Some(parser) =>
+        val decoded =
+          if (headers.get("content-encoding").contains("gzip"))
+            try gunzip(bytes)
+            catch { case _: Exception =>
+              return ParseOut(Map.empty, "", StatusFailed) }
+          else bytes
+        try parser.parse(url, contentType, decoded)
+        catch { case scala.util.control.NonFatal(_) =>
+          ParseOut(Map.empty, "", StatusFailed) }
+    }
   }
 }

@@ -134,6 +134,48 @@ class WarcSpec extends AnyFunSuite {
       "http://ext.example/r/i.png" -> "cap"))
   }
 
+  test("mixed-format archive: JSON/XML/plain/PDF records all contribute " +
+    "text through the shared parse (no silent non-HTML drop)") {
+    import spark.implicits._
+    def rec(url: String, ct: String, body: Array[Byte]) =
+      Warc.renderRecord(url, ct,
+        Map("content-length" -> body.length.toString), body,
+        "2024-01-01T00:00:00Z")
+    val pdf = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write("%PDF-1.1\n1 0 obj <</Length 22>> stream\n".getBytes)
+      bos.write("BT (archived pdf) Tj ET\nendstream endobj\n%%EOF\n".getBytes)
+      bos.toByteArray
+    }
+    val all =
+      rec("http://m.example/d.json", "application/json",
+        """{"body":"archived json","next":"http://m.example/n"}"""
+          .getBytes) ++
+        rec("http://m.example/f.xml", "application/rss+xml",
+          "<rss><item><title>archived xml</title></item></rss>".getBytes) ++
+        rec("http://m.example/t.txt", "text/plain", "archived text".getBytes) ++
+        rec("http://m.example/doc.pdf", "application/pdf", pdf) ++
+        rec("http://m.example/img.png", "image/png",
+          Array[Byte](1, 2, 3))
+    val dir = Files.createTempDirectory("warc-mixed").toString
+    val fos = new java.io.FileOutputStream(s"$dir/mixed.warc")
+    fos.write(all); fos.close()
+
+    val parsed = Warc.read(spark, dir, "wmix").collect().map { r =>
+      r.url -> Parse.page(r.url, r.contentType, r.headers, r.content,
+        r.contentLength)
+    }.toMap
+    assert(parsed("http://m.example/d.json").text === "archived json")
+    assert(parsed("http://m.example/d.json").outlinks.keySet ===
+      Set("http://m.example/n"))
+    assert(parsed("http://m.example/f.xml").text === "archived xml")
+    assert(parsed("http://m.example/t.txt").text === "archived text")
+    assert(parsed("http://m.example/doc.pdf").text === "archived pdf")
+    // payload types still take the payload path, not the text path
+    assert(parsed("http://m.example/img.png").status ===
+      Parse.StatusNotParsed)
+  }
+
   test("O4: salted host buckets spread hosts uniformly (fetch randomization)") {
     // the reference randomizes mapper keys so one huge host cannot
     // monopolize reducers (FetcherJob.java:82-95); our analog is the
