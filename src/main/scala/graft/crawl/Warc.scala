@@ -13,12 +13,15 @@ import graft.core.{FetchOutcome, Urls, XxHash64}
   * `response` record per fetched page: WARC headers, then an HTTP/1.1
   * response (status line + headers + body bytes).
   *
-  * Spark-first ingestion: `binaryFile` reads each .warc whole and a
-  * narrow flatMap splits records — WARC files are record-concatenated and
-  * not byte-splittable without per-record gzip, so the parallel unit is
-  * the file (archives ship as many ~1 GB files; at corpus scale a
-  * custom splittable FileFormat over record-gzip members is the upgrade
-  * path). Parsed records surface as FetchResult rows, so the SAME parse
+  * Spark-first ingestion, two granularities:
+  *  - `read`: `binaryFile` reads each .warc whole, a narrow flatMap
+  *    splits records — parallel unit = file; fine for many small files;
+  *  - `readSplittable`: record-gzip `.warc.gz` archives (the Common
+  *    Crawl convention) are byte-splittable at gzip member boundaries —
+  *    an index stage finds validated member offsets, then ranges of
+  *    ~16 MB decompress in parallel, so ONE multi-GB archive spreads
+  *    over many tasks with O(range) memory.
+  * Parsed records surface as FetchResult rows, so the SAME parse
   * stage that serves the crawl loop serves archive ingestion.
   */
 object Warc {
@@ -158,6 +161,207 @@ object Warc {
         }
       }
   }
+
+  // ------------------------------------------- splittable .warc.gz read
+
+  /** Hadoop `Configuration` is not Serializable; ship it to executors via
+    * its own write/readFields (what Spark's internal wrapper does) so the
+    * splittable read resolves the SAME filesystems — S3/HDFS credentials
+    * included — as the driver session.
+    */
+  private final class SerializableHadoopConf(
+      @transient var value: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
+
+  /** One contiguous run of gzip members inside an archive file —
+    * the task-sized unit of the splittable read.
+    */
+  final case class MemberRange(path: String, start: Long, end: Long)
+
+  /** Scan raw `.warc.gz` bytes for gzip MEMBER boundaries. Archives in the
+    * Common Crawl convention are one gzip member per WARC record, so the
+    * file is byte-splittable at member offsets. A candidate is the gzip
+    * magic (1f 8b 08); it is VALIDATED by walking the RFC 1952 header
+    * (FEXTRA/FNAME/FCOMMENT tolerated) and inflating the first bytes of
+    * the deflate stream — a boundary must decompress to `WARC/`. False
+    * positives inside compressed payload bytes fail validation.
+    */
+  private[crawl] def memberOffsets(bytes: Array[Byte]): Seq[Long] =
+    memberOffsets(new java.io.ByteArrayInputStream(bytes))
+
+  /** Streaming boundary scan: fixed 4 MB window with a 1 KB validation
+    * overlap — index memory is O(window) whatever the archive size.
+    */
+  private[crawl] def memberOffsets(in: java.io.InputStream): Seq[Long] = {
+    val out = scala.collection.mutable.ArrayBuffer[Long]()
+    val overlap = 1024
+    val chunkSize = 4 << 20
+    var baseOff = 0L // file offset of buf(0)
+    var absNext = 0L // next absolute offset to scan
+    var carry = Array.emptyByteArray
+    var eof = false
+    while (!eof) {
+      val fresh = new Array[Byte](chunkSize)
+      var n = 0
+      var r = 0
+      while (n < chunkSize && r != -1) {
+        r = in.read(fresh, n, chunkSize - n)
+        if (r > 0) n += r
+      }
+      eof = r == -1
+      val buf =
+        if (carry.isEmpty && n == fresh.length) fresh
+        else carry ++ java.util.Arrays.copyOf(fresh, n)
+      // without EOF, stop `overlap` short so validation never runs off
+      // the window; those positions rescan next round via the carry
+      val limit = if (eof) buf.length - 16 else buf.length - overlap
+      var i = math.max(0, (absNext - baseOff).toInt)
+      while (i <= limit) {
+        if (buf(i) == 0x1f.toByte && buf(i + 1) == 0x8b.toByte &&
+          buf(i + 2) == 0x08.toByte && validMemberAt(buf, i))
+          out += baseOff + i
+        i += 1
+      }
+      absNext = baseOff + math.max(limit + 1, 0)
+      val keep = math.min(overlap, buf.length)
+      baseOff += buf.length - keep
+      carry = buf.takeRight(keep)
+    }
+    out.toSeq
+  }
+
+  private def validMemberAt(bytes: Array[Byte], off: Int): Boolean = {
+    // RFC 1952 fixed header is 10 bytes; skip optional fields per FLG
+    var p = off + 10
+    if (p > bytes.length) return false
+    val flg = bytes(off + 3) & 0xff
+    if ((flg & 0x04) != 0) { // FEXTRA
+      if (p + 2 > bytes.length) return false
+      p += 2 + ((bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8))
+    }
+    if ((flg & 0x08) != 0) { // FNAME, zero-terminated
+      while (p < bytes.length && bytes(p) != 0) p += 1
+      p += 1
+    }
+    if ((flg & 0x10) != 0) { // FCOMMENT
+      while (p < bytes.length && bytes(p) != 0) p += 1
+      p += 1
+    }
+    if ((flg & 0x02) != 0) p += 2 // FHCRC
+    if (p >= bytes.length) return false
+    val inf = new java.util.zip.Inflater(true) // raw deflate
+    try {
+      inf.setInput(bytes, p, math.min(512, bytes.length - p))
+      val head = new Array[Byte](5)
+      var got = 0
+      while (got < 5 && !inf.finished() && !inf.needsInput() &&
+        !inf.needsDictionary()) {
+        val n = inf.inflate(head, got, 5 - got)
+        if (n == 0) return false
+        got += n
+      }
+      got == 5 && new String(head, StandardCharsets.US_ASCII) == "WARC/"
+    } catch {
+      case _: java.util.zip.DataFormatException => false
+    } finally inf.end()
+  }
+
+  /** Group member offsets into ~`targetChunkBytes` compressed ranges —
+    * one task decompresses one range, so peak memory is O(chunk), not
+    * O(archive).
+    */
+  private[crawl] def rangesOf(path: String, offsets: Seq[Long],
+      fileLen: Long, targetChunkBytes: Long): Seq[MemberRange] = {
+    if (offsets.isEmpty) return Nil
+    val out = scala.collection.mutable.ArrayBuffer[MemberRange]()
+    var start = offsets.head
+    var idx = 1
+    while (idx <= offsets.length) {
+      val end = if (idx == offsets.length) fileLen else offsets(idx)
+      if (end - start >= targetChunkBytes || idx == offsets.length) {
+        out += MemberRange(path, start, end)
+        start = end
+      }
+      idx += 1
+    }
+    out.toSeq
+  }
+
+  /** Splittable read of record-gzip `.warc.gz` archives: a multi-GB
+    * archive spreads over MANY tasks instead of one (the in-file
+    * parallelism the whole-file `read` lacks).
+    *
+    * Two Spark stages, both narrow:
+    *  1. index — one task per FILE scans raw bytes for validated gzip
+    *     member boundaries (byte scan + 5-byte trial inflations; no full
+    *     decompression) and emits ~`targetChunkBytes` member ranges;
+    *  2. parse — ranges repartition round-robin; each task seeks to its
+    *     range (Hadoop FileSystem API — local/HDFS/S3 alike), reads the
+    *     compressed span, and `GZIPInputStream` walks the concatenated
+    *     members natively. Peak memory per task is one range + its
+    *     decompressed records, never the archive.
+    *
+    * Whole-file gzip archives (one giant member) yield a single range —
+    * same behavior as `read`, no worse. Plain `.warc` files should use
+    * `read`.
+    */
+  def readSplittable(spark: SparkSession, path: String, batchId: String,
+      targetChunkBytes: Long = 16L << 20): Dataset[FetchResult] = {
+    import spark.implicits._
+    val confBc = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+    val files = spark.read.format("binaryFile").load(path)
+      .select("path").as[String]
+      .filter((p: String) => p.endsWith(".gz"))
+    val ranges = files.flatMap { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(confBc.value.value)
+      val len = fs.getFileStatus(hp).getLen
+      val in = fs.open(hp)
+      val offsets = try memberOffsets(in) finally in.close()
+      rangesOf(p, offsets, len, targetChunkBytes)
+    }.collect() // ~1 row per 16 MB of archive: tiny on the driver
+    spark.createDataset(ranges.toSeq)
+      .repartition(math.max(1, ranges.length))
+      .flatMap { r =>
+        val span = readRange(r.path, r.start, r.end, confBc.value.value)
+        parseRecords(Parse.gunzip(span)).flatMap(toFetchResult(_, batchId))
+      }
+  }
+
+  private def readRange(path: String, start: Long, end: Long,
+      conf: org.apache.hadoop.conf.Configuration): Array[Byte] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val in = fs.open(p)
+    try {
+      val bytes = new Array[Byte]((end - start).toInt)
+      in.readFully(start, bytes)
+      bytes
+    } finally in.close()
+  }
+
+  private def toFetchResult(r: WarcRecord, batchId: String)
+      : Option[FetchResult] =
+    Urls.canonicalize(r.url).map { u =>
+      val host = Urls.host(u)
+      FetchResult(XxHash64.hashUtf8(u, 42L), u, host,
+        FetchOutcome.Success, r.contentType, null, r.body,
+        r.httpHeaders.get("content-length")
+          .flatMap(_.trim.toLongOption)
+          .getOrElse(r.body.length.toLong),
+        r.httpHeaders, "", 1.0f, 0, 0L, 0L, batchId)
+    }
 
   /** Write fetched rows as .warc files, one per partition (the archive
     * export sink; only Success rows with content are archivable).

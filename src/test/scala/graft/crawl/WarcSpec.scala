@@ -176,6 +176,51 @@ class WarcSpec extends AnyFunSuite {
       Parse.StatusNotParsed)
   }
 
+  test("splittable .warc.gz: member boundaries found, ranges chunked, " +
+    "read spreads over >1 task, records match the whole-file read") {
+    import spark.implicits._
+    // Common Crawl convention: ONE GZIP MEMBER PER RECORD
+    val n = 40
+    val recs = (1 to n).map { i =>
+      Parse.gzip(Warc.renderRecord(s"http://sp.example/p$i",
+        "text/html",
+        Map("content-length" -> "34"),
+        // embed gzip-magic-like bytes in bodies to exercise validation
+        (s"<a href='/n${i + 1}.html'>x</a>" + "ZZZ")
+          .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1),
+        "2024-01-01T00:00:00Z"))
+    }
+    val all = recs.reduce(_ ++ _)
+    val dir = Files.createTempDirectory("warc-split").toString
+    val fos = new java.io.FileOutputStream(s"$dir/multi.warc.gz")
+    fos.write(all); fos.close()
+
+    // boundary scan finds exactly the member starts
+    val offsets = Warc.memberOffsets(all)
+    val expected = recs.map(_.length.toLong).scanLeft(0L)(_ + _).dropRight(1)
+    assert(offsets === expected)
+
+    // chunking: small target -> several ranges covering [0, len) exactly
+    val ranges = Warc.rangesOf("f", offsets, all.length.toLong,
+      targetChunkBytes = all.length / 5L)
+    assert(ranges.length > 1)
+    assert(ranges.head.start === 0L && ranges.last.end === all.length.toLong)
+    assert(ranges.sliding(2).forall {
+      case Seq(a, b) => a.end == b.start
+      case _ => true
+    })
+
+    // the distributed read: same records as the whole-file path, >1 task
+    val split = Warc.readSplittable(spark, dir, "wsp",
+      targetChunkBytes = all.length / 5L)
+    assert(split.rdd.getNumPartitions > 1)
+    val a = split.collect().map(r => (r.url, r.content.toSeq)).sortBy(_._1)
+    val b = Warc.read(spark, dir, "wsp").collect()
+      .map(r => (r.url, r.content.toSeq)).sortBy(_._1)
+    assert(a.length === n)
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("O4: salted host buckets spread hosts uniformly (fetch randomization)") {
     // the reference randomizes mapper keys so one huge host cannot
     // monopolize reducers (FetcherJob.java:82-95); our analog is the
