@@ -29,6 +29,15 @@ object Urls {
     *  - empty path becomes "/"
     *  - strip common session-id query params (regex-normalize.xml analog)
     */
+  /** Canonicalize with user NORMALIZE RULES applied first (reference
+    * urlnormalizer-regex before urlnormalizer-basic in the normalizer
+    * chain): the regex pass rewrites the raw string (session ids, default
+    * pages, anchors…), then the structural pass below canonicalizes.
+    */
+  def canonicalize(raw: String, rules: NormalizeRules): Option[String] =
+    if (rules.isEmpty) canonicalize(raw)
+    else canonicalize(rules(raw.trim))
+
   def canonicalize(raw: String): Option[String] = {
     val s = raw.trim
     if (s.isEmpty) return None

@@ -48,6 +48,17 @@ final case class Commit(
 final class CommitLog(root: String) {
   private val dir = new File(root, "_commits")
   dir.mkdirs()
+  // single-driver guard (the reference arbitrates concurrent crawlers
+  // through a ZooKeeper gate with stale-lock takeover,
+  // crawl/NutchConstant.java:648-830; nextSeq()+rename here assumes one
+  // driver per root — two drivers would race the sequence). An OS file
+  // lock makes that assumption ENFORCED: a second driver PROCESS on the
+  // same root fails fast instead of corrupting the log, and a crashed
+  // driver's lock releases automatically with its process (the flock
+  // analog of ZK session-expiry takeover). CommitLogs within one JVM
+  // share the lock — one driver, many pipeline objects, is the
+  // supported shape (tests, resume).
+  CommitLog.acquireProcessLock(dir)
   private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
 
   def commits(): Seq[Commit] =
@@ -72,5 +83,46 @@ final class CommitLog(root: String) {
     Files.move(tmp, Paths.get(dir.getPath, f"${c.seq}%06d.json"),
       StandardCopyOption.ATOMIC_MOVE)
     c
+  }
+}
+
+object CommitLog {
+  // one OS lock per commit root per JVM, shared by every CommitLog on
+  // that root (a second lock attempt in the same JVM would throw
+  // OverlappingFileLockException — same-process sharing is intended)
+  private val processLocks =
+    scala.collection.mutable.Map[String, java.nio.channels.FileLock]()
+
+  private def acquireProcessLock(dir: File): Unit = {
+    val key = dir.getCanonicalPath
+    processLocks.synchronized {
+      if (!processLocks.contains(key)) {
+        val ch = java.nio.channels.FileChannel.open(
+          new File(dir, "_driver.lock").toPath,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        val lock = ch.tryLock()
+        if (lock == null) {
+          ch.close()
+          throw new IllegalStateException(
+            s"another driver process holds the commit log at $key — " +
+              "one driver per crawl root (reference: ZK crawler gate)")
+        }
+        processLocks(key) = lock
+      }
+    }
+  }
+
+  /** Release this process's lock on a crawl root (tests / multi-root
+    * tools; a normal driver just holds it for the process lifetime, and
+    * the OS releases it on exit or crash).
+    */
+  def releaseProcessLock(root: String): Unit = {
+    val key = new File(root, "_commits").getCanonicalPath
+    processLocks.synchronized {
+      processLocks.remove(key).foreach { l =>
+        l.release(); l.channel().close()
+      }
+    }
   }
 }

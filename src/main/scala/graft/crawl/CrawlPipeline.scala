@@ -93,7 +93,9 @@ final class CrawlPipeline(
     compactEvery: Int = 4,
     fetcherOverride: Fetcher = null,
     majorEvery: Int = 8,
-    noExchangeMinBytes: Long = 512L << 20)
+    noExchangeMinBytes: Long = 512L << 20,
+    normalizeRules: graft.core.NormalizeRules = graft.core.NormalizeRules.none,
+    scoring: ScoringFilter = ScoringFilter.Default)
     extends Serializable {
 
   import spark.implicits._
@@ -138,20 +140,24 @@ final class CrawlPipeline(
   def inject(seedLines: Dataset[String], now: Long): Dataset[CrawlRow] = {
     val nb = numBuckets
     val defaultInterval = scheduleCfg.defaultIntervalSec
+    val normRules = normalizeRules
+    val sc = scoring
     val rows = seedLines
       .flatMap { line =>
         val parts = line.split("\t")
-        Urls.canonicalize(parts(0)).filter(UrlFilters.accepts).map { u =>
-          var score = 1.0f
+        Urls.canonicalize(parts(0), normRules).filter(UrlFilters.accepts)
+          .map { u =>
+          var metaScore = Option.empty[Float]
           var interval = defaultInterval
           parts.drop(1).foreach { kv =>
             kv.split("=", 2) match {
-              case Array("nutch.score", v) => score = v.toFloat
+              case Array("nutch.score", v) => metaScore = Some(v.toFloat)
               case Array("nutch.fetchInterval", v) => interval = v.toInt
               case _ =>
             }
           }
-          Keys.rowOf(u, nb, now, score = score, intervalSec = interval)
+          Keys.rowOf(u, nb, now, score = sc.injectedScore(u, metaScore),
+            intervalSec = interval)
         }
       }
       .dropDuplicates("urlHash")
@@ -459,10 +465,13 @@ final class CrawlPipeline(
     // shuffles un-capped rows); per-site caps fall back to a column
     // filter bounded by the trie's max cap so the pushdown still prunes.
     val defaultCap = maxPerHost
+    // ScoringFilter generatorSortValue: ranking/selection Column (Default
+    // = the score itself, so the default plan is unchanged)
+    val sortVal = scoring.generatorSortValue(col("score"))
     val list = if (!hasPerSiteCaps) {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("host"))
-        .orderBy(col("score").desc, col("url").asc)
+        .orderBy(sortVal.desc, col("url").asc)
       eligible
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= defaultCap)
@@ -474,7 +483,8 @@ final class CrawlPipeline(
       }.withColumnRenamed("_1", "row").withColumnRenamed("_2", "cap")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("row.host"))
-        .orderBy(col("row.score").desc, col("row.url").asc)
+        .orderBy(scoring.generatorSortValue(col("row.score")).desc,
+          col("row.url").asc)
       withCap
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= col("cap"))
@@ -483,7 +493,7 @@ final class CrawlPipeline(
     // lastBatch stamp as a literal column (not a typed map) — keeps the
     // tail of the plan object-free too
     list
-      .orderBy(col("score").desc, col("url").asc)
+      .orderBy(sortVal.desc, col("url").asc)
       .limit(topN)
       .withColumn("lastBatch", lit(batchId))
       .as[CrawlRow]
@@ -848,6 +858,8 @@ final class CrawlPipeline(
     val depthCap = maxDepth
     val additions = additionsAllowed
     val trie = trieBc
+    val normRules = normalizeRules
+    val sc = scoring
 
     // T7: redirects feed the discovery stream like outlinks
     val discovered: Dataset[Discovered] = parsed.flatMap { r =>
@@ -858,7 +870,7 @@ final class CrawlPipeline(
         // F6: per-site rewrite applied between canonicalize passes — the
         // rewritten URL is what enters the frontier (the reference's
         // delete-old-key + emit-new collapses to this at steady state)
-        Urls.canonicalize(raw)
+        Urls.canonicalize(raw, normRules)
           .map(u => trie.value.configOrDefault(u).rewriteUrl(u))
           .flatMap(Urls.canonicalize)
           .filter(UrlFilters.accepts)
@@ -866,7 +878,8 @@ final class CrawlPipeline(
             val host = Urls.host(u)
             Discovered(XxHash64.hashUtf8(u, 42L), u, host,
               Urls.domain(host), Keys.bucketOf(host, nb),
-              contrib = r.srcScore / n, inlinks = 1,
+              contrib = sc.outlinkContribution(r.url, r.srcScore, n),
+              inlinks = 1,
               distance = r.srcDistance + 1, anchor = anchor)
           }
       }
@@ -919,9 +932,22 @@ final class CrawlPipeline(
     val touched = frontier
       .join(broadcast(touchedKeys), Seq("urlHash"), "left_semi")
       .as[CrawlRow]
-    val changed: Dataset[CrawlRow] =
+    val merged: Dataset[CrawlRow] =
       if (sched.adaptive) mergeTyped(touched, outcomes, discDist, now, sched)
       else mergeColumnar(touched, outcomes, discDist, now, sched)
+    // ScoringFilter updateDbScore hook for EXISTING rows, as a columnar
+    // step shared by both merge forms; skipped entirely (no join in the
+    // plan) for filters that keep stored scores, like Default
+    val changed: Dataset[CrawlRow] =
+      if (!scoring.updatesExistingScores) merged
+      else merged.toDF
+        .join(broadcast(discAgg.select(col("urlHash"), col("contrib"))),
+          Seq("urlHash"), "left_outer")
+        .withColumn("score",
+          scoring.updateExistingScore(col("score"), col("contrib"))
+            .cast("float"))
+        .drop("contrib")
+        .as[CrawlRow]
 
     // new rows from discoveries. D1 URL-seen set (north rule): bloom
     // filters over frontier keys prune definitely-new URLs; only the
@@ -974,7 +1000,7 @@ final class CrawlPipeline(
         // F4: per-site custom score/interval for newly discovered rows
         val cfg = trie.value.configOrDefault(d.url)
         Keys.rowOf(d.url, nb, now,
-          score = if (cfg.customScore > 0f) cfg.customScore else d.contrib,
+          score = sc.newRowScore(d.url, d.contrib, cfg.customScore),
           distance = d.distance,
           intervalSec =
             if (cfg.customIntervalSec > 0) cfg.customIntervalSec

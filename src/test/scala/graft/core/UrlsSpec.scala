@@ -150,4 +150,87 @@ class UrlsSpec extends AnyFunSuite {
       Some("http://b.com/x"))
     assert(Urls.resolveOutlink("http://a.com/", "mailto:x@y.z") === None)
   }
+
+  // the reference's regex-normalize.xml default ruleset, verbatim XML
+  // shape (urlnormalizer-regex/sample/regex-normalize-default.xml)
+  private val defaultNormalizeXml =
+    """<?xml version="1.0"?>
+      |<regex-normalize>
+      |<!-- session ids -->
+      |<regex>
+      |  <pattern>([;_]?((?i)l|j|bv_)?((?i)sid|phpsessid|sessionid)=.*?)(\?|&amp;|#|$)</pattern>
+      |  <substitution>$4</substitution>
+      |</regex>
+      |<regex>
+      |  <pattern>/((?i)index|default)\.((?i)js[pf]{1}?[afx]?|cgi|cfm|asp[x]?|[psx]?htm[l]?|php[3456]?)(\?|&amp;|#|$)</pattern>
+      |  <substitution>/$3</substitution>
+      |</regex>
+      |<regex>
+      |  <pattern>#.*?(\?|&amp;|$)</pattern>
+      |  <substitution>$1</substitution>
+      |</regex>
+      |<regex>
+      |  <pattern>\?&amp;</pattern>
+      |  <substitution>\?</substitution>
+      |</regex>
+      |<regex>
+      |  <pattern>&amp;{2,}</pattern>
+      |  <substitution>&amp;</substitution>
+      |</regex>
+      |<regex>
+      |  <pattern>[\?&amp;\.]$</pattern>
+      |  <substitution></substitution>
+      |</regex>
+      |</regex-normalize>""".stripMargin
+
+  test("normalize rules: reference regex-normalize-default golden cases") {
+    val rules = NormalizeRules.parseXml(defaultNormalizeXml)
+    // lifted from urlnormalizer-regex/sample/regex-normalize-default.test
+    val golden = Seq(
+      "http://foo.com/foo.php?PHPSESSID=cdc993a493e899bed04f4d0c8a462a03"
+        -> "http://foo.com/foo.php",
+      "http://foo.com/foo.php?f=2&PHPSESSID=cdc993a493e899bed04f4d0c8a462a03"
+        -> "http://foo.com/foo.php?f=2",
+      "http://foo.com/foo.php?f=2&PHPSESSID=cdc993a493e899bed04f4d0c8a462a03&q=3"
+        -> "http://foo.com/foo.php?f=2&q=3",
+      "http://www.foo.com/foo.php?Bv_SessionID=fassassddsajkl&x=y"
+        -> "http://www.foo.com/foo.php?x=y",
+      "http://www.foo.com/foo.html;jsessionid=1E6FEC0D14D044541DD84D2D013D29ED"
+        -> "http://www.foo.com/foo.html",
+      "http://www.foo.com/foo.php?&x=1&sid=xyz&something=1"
+        -> "http://www.foo.com/foo.php?x=1&something=1",
+      "http://www.foo.com/home/index.html" -> "http://www.foo.com/home/",
+      "http://www.foo.com/index.asp" -> "http://www.foo.com/",
+      "http://www.foo.com/default.php3" -> "http://www.foo.com/",
+      "http://www.foo.com/something.php3"
+        -> "http://www.foo.com/something.php3",
+      "http://www.foo.com/index.phtml" -> "http://www.foo.com/",
+      "http://www.foo.com/index.HTML" -> "http://www.foo.com/",
+      "http://www.foo.com/foo.html#something" -> "http://www.foo.com/foo.html",
+      "http://www.foo.com/foo.html#something?x=y"
+        -> "http://www.foo.com/foo.html?x=y",
+      "http://www.foo.com/foo.html?&x=y" -> "http://www.foo.com/foo.html?x=y",
+      "http://www.foo.com/foo.html?x=y&&&z=a"
+        -> "http://www.foo.com/foo.html?x=y&z=a",
+      "http://www.foo.com/foo.html?" -> "http://www.foo.com/foo.html")
+    golden.foreach { case (in, want) =>
+      assert(rules(in) === want, s"input $in")
+    }
+  }
+
+  test("normalize rules: text form, canonicalize integration, " +
+    "defaults unchanged") {
+    // pattern~substitution text form (F6 rewrite syntax)
+    val rules = NormalizeRules.parse(Seq(
+      "# drop tracking params",
+      "[?&]utm_[a-z]+=[^&#]*~",
+      "//m\\.~//www."))
+    assert(Urls.canonicalize(
+      "http://m.shop.example/p?id=3&utm_source=x", rules) ===
+      Some("http://www.shop.example/p?id=3"))
+    // empty ruleset == structural behavior, exactly
+    assert(Urls.canonicalize("http://A.example:80/x/../y?sid=1&k=2",
+      NormalizeRules.none) ===
+      Urls.canonicalize("http://A.example:80/x/../y?sid=1&k=2"))
+  }
 }
