@@ -46,8 +46,11 @@ object ScalingRun {
       else WebConfig(numHosts = 3000, pagesPerHost = 300, fanout = 6,
         imagesPerPage = 4, maxDelayMs = 200, crawlDelayMs = 10L,
         maxConcurrent = 2, imgMinPx = 112, imgPxRange = 97)
+    // GRAFT_NO_BLOOMS: A/B switch — exact-anti-join-only seen set, no
+    // sidecar builds (attribution of the incremental bloom cost)
     val p = new CrawlPipeline(spark, root, webCfg, numBuckets = 64,
-      maxDepth = 4)
+      maxDepth = 4,
+      useBloomSeenFilter = !sys.env.contains("GRAFT_NO_BLOOMS"))
     if (warmup) p.runBatches(depth = 2, topN = 2000, maxPerHost = 40)
     else p.runBatches(depth = 3, topN = 50000, maxPerHost = 40)
     // fold the MoR delta chain so the full-width compaction write is
@@ -69,13 +72,19 @@ object ScalingRun {
       .flatMap(_.metrics.get("mergeWallMs")).headOption.getOrElse(0.0)
     val compactWall = commits.filter(_.stage == "compact")
       .flatMap(_.metrics.get("compactWallMs")).sum / 1000.0
+    val generateWall = commits.filter(_.stage == "generate")
+      .flatMap(_.metrics.get("generateWallMs")).sum / 1000.0
+    val bloomWall = commits
+      .flatMap(_.metrics.get("bloomWallMs")).sum / 1000.0
     // stdout contract with Bench: exactly one line starting with RESULT
     println(s"""RESULT{"fetched":$fetched,"fetchWallSec":$fetchWall,""" +
       s""""mergeWallSec":$mergeWall,""" +
       s""""steadyFetched":${steady.rowCount},""" +
       s""""steadyFetchWallSec":${steady.metrics("fetchWallMs") / 1000.0},""" +
       s""""steadyMergeWallSec":${steadyMerge / 1000.0},""" +
-      s""""compactWallSec":$compactWall}""")
+      s""""compactWallSec":$compactWall,""" +
+      s""""generateWallSec":$generateWall,""" +
+      s""""bloomWallSec":$bloomWall}""")
     spark.stop()
     // best-effort cleanup of the working tree (tmpfs space is shared)
     def rm(f: java.io.File): Unit = {

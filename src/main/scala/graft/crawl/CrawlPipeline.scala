@@ -164,10 +164,17 @@ final class CrawlPipeline(
     val seq = log.nextSeq()
     val path = snapshotDir(seq)
     val out = writeFrontier(rows, path)
-    val bloomPath = writeBlooms(readFrontier(path),
-      s"$root/blooms/$seq", out.values.sum)
+    val tB = System.nanoTime()
+    // sidecars only when the seen-filter is on — a pipeline that always
+    // takes the exact anti-join must not pay bloom builds it never reads
+    val bloomPaths =
+      if (useBloomSeenFilter)
+        Seq(writeBlooms(readFrontier(path), s"$root/blooms/$seq",
+          out.values.sum))
+      else Nil
     commitStage(seq, "b0", "inject", path, out, now,
-      bloomPaths = Seq(bloomPath))
+      metrics = Map("bloomWallMs" -> (System.nanoTime() - tB) / 1e6),
+      bloomPaths = bloomPaths)
     readFrontier(path)
   }
 
@@ -398,15 +405,18 @@ final class CrawlPipeline(
     val listFinal = fetchlistPlan(frontier, batchId, now, topN, maxPerHost)
 
     val path = s"$root/batches/$batchId/fetchlist"
+    val t0 = System.nanoTime()
     // limit() collapses to one partition; spread the fetchlist by host so
     // the fetch stage's shuffle-write side is parallel, not one task
     listFinal.repartition(numBuckets, col("host"))
       .write.mode(SaveMode.Overwrite).parquet(path)
+    val generateWallMs = (System.nanoTime() - t0) / 1e6
     val out = spark.read.parquet(path).as[CrawlRow]
     val counts = out.groupBy("bucket").count().as[(Int, Long)].collect()
       .map { case (b, c) => b.toString -> c }.toMap
     commitStage(log.nextSeq(), batchId, "generate",
-      lastState().map(_.frontierPath).getOrElse(""), counts, now)
+      lastState().map(_.frontierPath).getOrElse(""), counts, now,
+      metrics = Map("generateWallMs" -> generateWallMs))
     out
   }
 
@@ -430,7 +440,11 @@ final class CrawlPipeline(
     // WholeStageCodegen with no object decode — same two-form pattern as
     // mergeColumnar, pinned by the same parity spec. The trie path keeps
     // the typed cascade (F4/F5: depth override + per-node sub-filters).
-    val eligible: Dataset[CrawlRow] = if (!hasPerSiteCaps) {
+    // GRAFT_GENERATE_TYPED forces the typed cascade (A/B harness for the
+    // columnar form; the per-host-cap branch below stays literal either
+    // way so the comparison isolates the eligibility pass)
+    val forceTyped = sys.env.contains("GRAFT_GENERATE_TYPED")
+    val eligible: Dataset[CrawlRow] = if (!hasPerSiteCaps && !forceTyped) {
       val overdue = col("fetchTime") - lit(now) > lit(maxIntervalMs)
       frontier
         .filter(col("status") =!= lit(CrawlStatus.Gone) &&
@@ -1047,15 +1061,22 @@ final class CrawlPipeline(
             writeSnapshotNoExchange(baseUntouched.as[CrawlRow], latest, path,
               basePath)
         latest.unpersist()
-        // compaction resets the bloom chain: one fresh generation over
-        // the new snapshot (the only full bloom build after inject)
-        val bloomPath = writeBlooms(readFrontier(path),
-          s"$root/blooms/$seq", counts.values.sum)
         val mergeMs = (System.nanoTime() - t0) / 1e6
+        // compaction resets the bloom chain: one fresh generation over
+        // the new snapshot (the only full bloom build after inject).
+        // Timed separately from the merge so the artifact attributes
+        // sidecar cost vs merge cost directly.
+        val tB = System.nanoTime()
+        val bloomPaths =
+          if (useBloomSeenFilter)
+            Seq(writeBlooms(readFrontier(path), s"$root/blooms/$seq",
+              counts.values.sum))
+          else Nil
         commitStage(seq, batchId, "updatedb", path, counts, now,
           Map("mergeWallMs" -> mergeMs,
+            "bloomWallMs" -> (System.nanoTime() - tB) / 1e6,
             "compacted" -> (if (major) 2.0 else 1.0)),
-          bloomPaths = Seq(bloomPath))
+          bloomPaths = bloomPaths)
       } else {
         val deltaPath = s"$root/frontier/delta-$seq"
         delta.repartition(math.max(1, numBuckets / 8), col("bucket"))
@@ -1075,12 +1096,17 @@ final class CrawlPipeline(
         // incremental seen-set: a delta-sized bloom generation over this
         // batch's delta rows (changed rows re-add already-seen keys —
         // a harmless superset) appended to the chain
-        val blooms = prev.map(_.blooms).getOrElse(Nil) :+
-          writeBlooms(spark.read.parquet(deltaPath).as[CrawlRow],
-            s"$root/blooms/$seq", deltaCounts.values.sum)
+        val tB = System.nanoTime()
+        val blooms =
+          if (!useBloomSeenFilter) Nil
+          else prev.map(_.blooms).getOrElse(Nil) :+
+            writeBlooms(spark.read.parquet(deltaPath).as[CrawlRow],
+              s"$root/blooms/$seq", deltaCounts.values.sum)
         log.append(Commit(seq, batchId, "updatedb", "complete", basePath,
-          total, deltaCounts, Map("mergeWallMs" -> mergeMs), now, deltas,
-          blooms))
+          total, deltaCounts,
+          Map("mergeWallMs" -> mergeMs,
+            "bloomWallMs" -> (System.nanoTime() - tB) / 1e6),
+          now, deltas, blooms))
       }
     discAgg.unpersist()
     viewOf(result)
