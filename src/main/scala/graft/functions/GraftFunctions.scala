@@ -39,5 +39,22 @@ object GraftFunctions {
     u.register("graft_extract_links",
       (html: String, baseUrl: String) =>
         Parse.extractLinks(html, baseUrl).map { case (l, a) => Array(l, a) })
+    // multi-format parse dispatch (PayloadParsers): text of an HTML /
+    // JSON / XML / plain / PDF / ZIP body, NULL for undispatchable or
+    // unparseable content — SQL users parse archives without Scala
+    u.register("graft_parse_text",
+      (url: String, contentType: String, body: Array[Byte]) => {
+        val po = Parse.page(url, contentType, Map.empty, body,
+          if (body == null) -1L else body.length.toLong)
+        if (po.status == Parse.StatusOk) po.text else null
+      })
+    u.register("graft_parse_links",
+      (url: String, contentType: String, body: Array[Byte]) => {
+        val po = Parse.page(url, contentType, Map.empty, body,
+          if (body == null) -1L else body.length.toLong)
+        if (po.status == Parse.StatusOk)
+          po.outlinks.toSeq.map { case (l, a) => Array(l, a) }
+        else null
+      })
   }
 }

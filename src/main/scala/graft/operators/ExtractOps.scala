@@ -144,7 +144,37 @@ object ExtractOps {
       datediff(lit("2024-02-01").cast("date"), col("ts").cast("date"))
         .cast("long").as("days_to_feb"))
 
+  /** F3 normalize rules as an oracle-gated query: messy URLs synthesized
+    * deterministically from doc_id run through the SAME NormalizeRules
+    * engine the pipeline uses (session-param strip + default-page
+    * collapse); DuckDB replays the regex chain. The rule regexes are
+    * written in the Java-regex/RE2 common subset so both engines agree.
+    */
+  def normalizeUrl(s: SparkSession, dir: String): DataFrame = {
+    val rules = graft.core.NormalizeRules.parse(Seq(
+      "&phpsessid=[^&#]*~",
+      "/(index|default)\\.html\\?~/?"))
+    val norm = udf((u: String) => rules(u))
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        concat(lit("http://h"), (col("doc_id") % 50).cast("string"),
+          lit(".example/"),
+          when(col("doc_id") % 3 === 0, lit("index.html"))
+            .otherwise(lit("page.html")),
+          lit("?q="), col("doc_id").cast("string"),
+          lit("&phpsessid=s"), col("doc_id").cast("string")).as("raw_url"))
+      .withColumn("url", norm(col("raw_url")))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_normalize_url" ->
+      ("WITH raw AS (SELECT doc_id, 'http://h' || (doc_id % 50) || " +
+        "'.example/' || CASE WHEN doc_id % 3 = 0 THEN 'index.html' " +
+        "ELSE 'page.html' END || '?q=' || doc_id || '&phpsessid=s' || " +
+        "doc_id AS raw_url FROM documents) " +
+        "SELECT doc_id, raw_url, regexp_replace(regexp_replace(raw_url, " +
+        "'&phpsessid=[^&#]*', '', 'g'), '/(index|default)\\.html\\?', " +
+        "'/?', 'g') AS url FROM raw"),
     "q_field_extract" ->
       ("SELECT doc_id, regexp_extract(text, '(scan|join|merge|sort)', 1) AS op, " +
         "regexp_extract(text, 'the ([a-z]+)', 1) AS after_the, " +
@@ -169,6 +199,7 @@ object ExtractOps {
         "FROM toks, unnest(range(1, least(len(t), 5) + 1)) AS u(i)"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_normalize_url" -> normalizeUrl _,
     "q_field_extract" -> fieldExtract _,
     "q_date_calc" -> dateCalc _,
     "q_list_extract" -> listExtract _,

@@ -60,4 +60,28 @@ class GraftFunctionsSpec extends AnyFunSuite {
       .head().getString(0)
     assert(text === "go")
   }
+
+  test("multi-format parse dispatch through SQL (json/pdf/unknown)") {
+    Seq(
+      ("http://a.example/d.json", "application/json",
+        """{"k":"sql json text","next":"http://a.example/n"}"""
+          .getBytes("UTF-8")),
+      ("http://a.example/doc.pdf", "application/pdf",
+        ("%PDF-1.1\n1 0 obj <</Length 20>> stream\n" +
+          "BT (sql pdf text) Tj ET\nendstream endobj\n%%EOF\n")
+          .getBytes("ISO-8859-1")),
+      ("http://a.example/b.bin", "application/octet-stream",
+        Array[Byte](1, 2, 3)))
+      .toDF("url", "ct", "body").createOrReplaceTempView("t_docs")
+    val rows = spark.sql(
+      "SELECT url, graft_parse_text(url, ct, body) AS txt, " +
+        "graft_parse_links(url, ct, body) AS links FROM t_docs ORDER BY url")
+      .collect()
+    // url sort order: b.bin < d.json < doc.pdf
+    assert(rows(0).isNullAt(1) && rows(0).isNullAt(2)) // no parser
+    assert(rows(1).getString(1) === "sql json text")
+    assert(rows(1).getSeq[Seq[String]](2) ===
+      Seq(Seq("http://a.example/n", "next")))
+    assert(rows(2).getString(1) === "sql pdf text")
+  }
 }
