@@ -293,6 +293,170 @@ object SimilarityOps {
       .select(col("query_id"), col("vec_id"), col("sim"), col("rn"))
   }
 
+  /** Plain (L2) k-means over sub-vectors — the PQ codebook trainer.
+    * Driver-side on the same bounded sample as IVF: training cost is
+    * constant at any corpus size. Deterministic: first-k seeding over
+    * the hash-ordered sample, fixed Lloyd rounds, mean update.
+    */
+  private[operators] def trainCodebook(sub: Array[Array[Double]],
+      kCodes: Int, iters: Int = 8): Array[Array[Double]] = {
+    val dim = sub.head.length
+    var cb = sub.take(kCodes).map(_.clone)
+    def nearest(p: Array[Double]): Int = {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        var d = 0.0
+        var i = 0
+        while (i < dim) { val t = p(i) - cb(c)(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(kCodes)(new Array[Double](dim))
+      val counts = new Array[Int](kCodes)
+      sub.foreach { p =>
+        val c = nearest(p)
+        var i = 0
+        while (i < dim) { sums(c)(i) += p(i); i += 1 }
+        counts(c) += 1
+      }
+      cb = Array.tabulate(kCodes)(c =>
+        if (counts(c) == 0) cb(c)
+        else sums(c).map(_ / counts(c)))
+    }
+    cb
+  }
+
+  /** IVF-PQ ANN — the MEMORY-scale path: vectors compress to `m` byte
+    * codes (64-dim float = 256 B → 8 B, 32×), so a 10^10-vector index
+    * fits where raw vectors cannot. Classic two-level design
+    * (Jégou et al., "Product Quantization for Nearest Neighbor
+    * Search", TPAMI 2011):
+    *
+    *  - coarse quantizer: the SAME spherical-k-means cells as
+    *    [[cosineTopKIvf]] (bounded driver-side sample);
+    *  - product quantizer: the unit vector splits into `m` subspaces,
+    *    each L2-k-means-coded to one of `kCodes` centroids → the corpus
+    *    row is (cell, vec_id, m bytes);
+    *  - query: ADC (asymmetric distance computation) — per query, an
+    *    m×kCodes table of partial dots; a candidate's approximate
+    *    cosine = m table lookups summed, NO vector math per pair;
+    *  - exact rerank: the top `rerank·k` ADC candidates join their raw
+    *    vectors back (a k·rerank-bounded broadcast per query) for the
+    *    exact final ordering — ADC error affects which candidates are
+    *    CONSIDERED, not the reported similarity.
+    *
+    * Scale shape: candidate generation is the nProbe cell equi-join on
+    * byte codes only; raw vectors are touched for |Q|·rerank·k rows.
+    */
+  def cosineTopKPq(s: SparkSession, dir: String, nQueries: Int = 10,
+      k: Int = 5, nCells: Int = 16, nProbe: Int = 4, m: Int = 8,
+      kCodes: Int = 64, dim: Int = 64, sampleN: Int = 2048,
+      rerank: Int = 4): DataFrame = {
+    import s.implicits._
+    require(dim % m == 0, "dim must divide into m subspaces")
+    val subDim = dim / m
+    val e = emb(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val sample = e.withColumn("h", xxhash64(col("vec_id")))
+      .orderBy(col("h")).limit(sampleN)
+      .select(col("v")).as[Array[Double]].collect()
+    // function VALS, not local defs: a lambda calling a local def drags
+    // the whole (non-serializable) enclosing module into the closure;
+    // vals capture only the arrays they use
+    val unit: Array[Double] => Array[Double] = v => {
+      val n = math.sqrt(dotArr(v, v))
+      if (n == 0) v else v.map(_ / n)
+    }
+    val centroids = trainCentroids(sample, nCells)
+    val unitSample = sample.map(unit)
+    val codebooks = Array.tabulate(m)(j =>
+      trainCodebook(unitSample.map(_.slice(j * subDim, (j + 1) * subDim)),
+        kCodes))
+
+    val cellOf: Array[Double] => Int = u => {
+      var best = 0
+      var bestD = Double.NegativeInfinity
+      var c = 0
+      while (c < centroids.length) {
+        val d = dotArr(u, centroids(c))
+        if (d > bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    val encode: Array[Double] => Array[Byte] = u =>
+      Array.tabulate(m) { j =>
+        val sub = u.slice(j * subDim, (j + 1) * subDim)
+        val cb = codebooks(j)
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < cb.length) {
+          var d = 0.0
+          var i = 0
+          while (i < subDim) { val t = sub(i) - cb(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        best.toByte
+      }
+
+    // the compressed index: this is ALL the corpus-sized state PQ keeps
+    val codes = e.as[(Long, Array[Double])].map { case (id, v) =>
+      val u = unit(v)
+      (cellOf(u), id, encode(u))
+    }.toDF("cell", "vec_id", "codes")
+
+    // per-query ADC tables (tiny: |Q| × m × kCodes doubles) + probes
+    val probes = e.as[(Long, Array[Double])]
+      .filter(_._1 < nQueries)
+      .flatMap { case (id, v) =>
+        val u = unit(v)
+        val table = Array.tabulate(m, kCodes)((j, c) =>
+          dotArr(u.slice(j * subDim, (j + 1) * subDim), codebooks(j)(c)))
+        centroids.indices.map(c => (dotArr(u, centroids(c)), c))
+          .sortBy { case (d, c) => (-d, c) }.take(nProbe)
+          .map { case (_, c) => (c, id, table.map(_.toSeq).toSeq) }
+      }.toDF("cell", "query_id", "table")
+
+    val candidates = codes.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("codes"), col("table"))
+      .as[(Long, Long, Array[Byte], Seq[Seq[Double]])]
+      .map { case (qid, vid, cs, table) =>
+        var adc = 0.0
+        var j = 0
+        while (j < m) { adc += table(j)(cs(j) & 0xff); j += 1 }
+        (qid, vid, adc)
+      }.toDF("query_id", "vec_id", "adc")
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("vec_id").asc)
+    val shortlist = candidates.withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") <= k * rerank)
+      .select(col("query_id"), col("vec_id"))
+
+    // exact rerank of the |Q|·rerank·k shortlist only
+    val queries = e.as[(Long, Array[Double])].filter(_._1 < nQueries)
+      .map { case (id, v) => (id, v, math.sqrt(dotArr(v, v))) }
+      .toDF("query_id", "qv", "qnrm")
+    val exact = e.withColumn("nrm", sqrt(dot(col("v"), col("v"), dim)))
+      .join(broadcast(shortlist), Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("v"), col("qv"), dim) / (col("nrm") * col("qnrm")), 4)
+          .as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    exact.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id"), col("sim"), col("rn"))
+  }
+
   /** Embedding near-duplicate detection: pairs with cosine >= threshold,
     * LSH-blocked (multi-table), exactly verified within bucket.
     */
@@ -339,5 +503,6 @@ object SimilarityOps {
     "q_cosine_topk" -> ((s, d) => cosineTopK(s, d)),
     "q_cosine_topk_lsh" -> ((s, d) => cosineTopKLsh(s, d)),
     "q_cosine_topk_ivf" -> ((s, d) => cosineTopKIvf(s, d)),
+    "q_cosine_topk_pq" -> ((s, d) => cosineTopKPq(s, d)),
     "q_embedding_near_dup" -> ((s, d) => embeddingNearDup(s, d)))
 }

@@ -133,6 +133,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(again === ivf)
   }
 
+  test("IVF-PQ top-k: 32x-compressed codes + ADC + exact rerank keep " +
+    "recall; reported sims are EXACT; deterministic") {
+    import spark.implicits._
+    val exact = SimilarityOps.cosineTopK(spark, sfDir)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val pq = SimilarityOps.cosineTopKPq(spark, sfDir)
+    val pqSet = pq.select("query_id", "vec_id").as[(Long, Long)]
+      .collect().toSet
+    val recall = exact.intersect(pqSet).size.toDouble / exact.size
+    // candidate generation = the IVF cells; ADC ordering + 4x rerank
+    // should not lose much vs plain IVF's >=0.5 gate
+    assert(recall >= 0.5, s"IVF-PQ recall $recall")
+    // the reported similarity is the EXACT rerank value, not the ADC
+    // approximation: spot-check against brute-force scores
+    val exactSims = SimilarityOps.cosineTopK(spark, sfDir)
+      .select("query_id", "vec_id", "sim")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, v, s) => (q, v) -> s }.toMap
+    pq.select("query_id", "vec_id", "sim").as[(Long, Long, Double)]
+      .collect().foreach { case (q, v, s) =>
+        exactSims.get((q, v)).foreach(es =>
+          assert(math.abs(es - s) < 1e-9, s"sim mismatch at ($q,$v)"))
+      }
+    val again = SimilarityOps.cosineTopKPq(spark, sfDir)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(again === pqSet)
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     import spark.implicits._
     // max pairwise cosine in the synthetic embeddings is ~0.51; 0.3
