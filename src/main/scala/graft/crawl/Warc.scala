@@ -363,6 +363,42 @@ object Warc {
         r.httpHeaders, "", 1.0f, 0, 0L, 0L, batchId)
     }
 
+  // --------------------------------------------------- streaming source
+
+  /** Continuous archive ingestion as a Structured Streaming source:
+    * `.warc`/`.warc.gz` files LANDING in a directory stream through the
+    * SAME record parse as the batch paths — drop an archive in, its
+    * records flow out, exactly once per file (the file-source commit
+    * log). Compose with `dropDuplicates("urlHash")` (+ a watermark on
+    * `fetchStart` in production) for a streaming URL-seen gate, or
+    * `writeStream.foreachBatch` into the frontier/index sinks.
+    *
+    * Whole files are the streaming unit (one task per file per
+    * micro-batch); backfill of a huge single archive belongs to
+    * [[readSplittable]].
+    */
+  def readStream(spark: SparkSession, dir: String, batchId: String)
+      : Dataset[FetchResult] = {
+    import spark.implicits._
+    spark.readStream.format("binaryFile")
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("modificationTime",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("length",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType))))
+      .load(dir)
+      .select("path", "content").as[(String, Array[Byte])]
+      .flatMap { case (filePath, raw) =>
+        val fileBytes =
+          if (filePath.endsWith(".gz")) Parse.gunzip(raw) else raw
+        parseRecords(fileBytes).flatMap(toFetchResult(_, batchId))
+      }
+  }
+
   /** Write fetched rows as .warc files, one per partition (the archive
     * export sink; only Success rows with content are archivable).
     *

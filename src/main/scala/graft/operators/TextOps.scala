@@ -249,6 +249,13 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_boilerplate_ngrams" ->
+      ("WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), " +
+        "x -> x <> '') AS ws FROM documents), " +
+        "segs AS (SELECT doc_id, array_to_string(ws[(i*2+1):(i*2+2)], ' ') AS seg " +
+        "FROM w, unnest(range(0, len(ws)//2)) AS t(i)) " +
+        "SELECT seg, count(DISTINCT doc_id) AS n_docs FROM segs " +
+        "GROUP BY seg HAVING count(DISTINCT doc_id) >= 5"),
     "q_token_count" ->
       ("SELECT doc_id, len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens, " +
         "len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS bpe_tokens, " +
@@ -297,7 +304,32 @@ object TextOps {
         "len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x IN ('el','la','los','las','es','una','para','como'))) AS es " +
         "FROM documents)"))
 
+  /** Cross-document boilerplate detection (the training-data "remove
+    * repeated template text" pass, cf. C4/RefinedWeb dedup pipelines):
+    * documents segment into consecutive `n`-word shingle strings; a
+    * segment appearing in >= `minDocs` DISTINCT documents is boilerplate.
+    * All codegen'd array ops (split/slice/array_join over a guarded
+    * sequence — Spark's sequence(0,-1) counts DOWN, so empty docs need
+    * the when() guard) + one hash-partitioned count-distinct shuffle:
+    * the scan side is narrow at any corpus size.
+    */
+  def boilerplateNgrams(s: SparkSession, dir: String, n: Int = 2,
+      minDocs: Int = 5): DataFrame = {
+    val words = tokensCol(col("text"))
+    val nSegs = floor(size(words) / n).cast("int")
+    val segs = when(nSegs > 0,
+      transform(sequence(lit(0), nSegs - 1),
+        i => array_join(slice(words, i * n + lit(1), lit(n)), " ")))
+      .otherwise(array())
+    docs(s, dir)
+      .select(col("doc_id"), explode(segs).as("seg"))
+      .groupBy(col("seg"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_boilerplate_ngrams" -> ((s, d) => boilerplateNgrams(s, d)),
     "q_token_count" -> tokenCount _,
     "q_sentiment" -> sentimentScore _,
     "q_quality_score" -> qualityScore _,

@@ -221,6 +221,44 @@ class WarcSpec extends AnyFunSuite {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("streaming ingestion: archives landing in a directory stream " +
+    "through the shared parse, exactly once per file, with URL dedup") {
+    import spark.implicits._
+    def rec(url: String, body: String) =
+      Warc.renderRecord(url, "text/html",
+        Map("content-length" -> body.getBytes.length.toString),
+        body.getBytes, "2024-01-01T00:00:00Z")
+    val dir = Files.createTempDirectory("warc-stream").toString
+    val ckpt = Files.createTempDirectory("warc-stream-ckpt").toString
+    // file 1 present before the stream starts
+    val f1 = new java.io.FileOutputStream(s"$dir/a1.warc")
+    f1.write(rec("http://st.example/p1", "<p>one</p>") ++
+      rec("http://st.example/p2", "<p>two</p>")); f1.close()
+
+    val q = Warc.readStream(spark, dir, "ws")
+      .dropDuplicates("urlHash") // streaming URL-seen gate (stateful)
+      .select("url")
+      .writeStream.format("memory").queryName("warc_stream")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT url FROM warc_stream").as[String]
+        .collect().sorted.toSeq ===
+        Seq("http://st.example/p1", "http://st.example/p2"))
+      // file 2 lands mid-stream: one NEW record + one DUPLICATE of p1,
+      // which the stateful dedup must drop
+      val f2 = new java.io.FileOutputStream(s"$dir/a2.warc")
+      f2.write(rec("http://st.example/p3", "<p>three</p>") ++
+        rec("http://st.example/p1", "<p>one again</p>")); f2.close()
+      q.processAllAvailable()
+      val urls = spark.sql("SELECT url FROM warc_stream").as[String]
+        .collect().sorted.toSeq
+      assert(urls === Seq("http://st.example/p1", "http://st.example/p2",
+        "http://st.example/p3"), s"got $urls")
+    } finally q.stop()
+  }
+
   test("O4: salted host buckets spread hosts uniformly (fetch randomization)") {
     // the reference randomizes mapper keys so one huge host cannot
     // monopolize reducers (FetcherJob.java:82-95); our analog is the
