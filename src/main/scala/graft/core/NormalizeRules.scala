@@ -41,11 +41,15 @@ object NormalizeRules {
       }
       .toSeq)
 
+  // [^<]* not (.*?): pattern/substitution text is XML-escaped, so it
+  // cannot contain a raw '<' — and a lazy dot-star would backtrack ACROSS
+  // block boundaries when a substitution-less block precedes a full one,
+  // fusing two rules into one garbage rule
   private val RegexBlockRe =
-    "(?s)<regex>\\s*<pattern>(.*?)</pattern>\\s*" +
-      "<substitution>(.*?)</substitution>\\s*</regex>"
+    "(?s)<regex>\\s*<pattern>([^<]*)</pattern>\\s*" +
+      "<substitution>([^<]*)</substitution>\\s*</regex>"
   private val RegexBlockNoSubRe =
-    "(?s)<regex>\\s*<pattern>(.*?)</pattern>\\s*</regex>"
+    "(?s)<regex>\\s*<pattern>([^<]*)</pattern>\\s*</regex>"
   private val CommentRe = "(?s)<!--.*?-->".r
 
   /** The reference's `regex-normalize.xml` format, so an existing ruleset

@@ -29,6 +29,13 @@ final case class RobotRules(allows: Seq[String], disallows: Seq[String],
 
 object RobotRules {
   val AllowAll: RobotRules = RobotRules(Nil, Nil)
+
+  /** Upper bound honored for a robots-declared Crawl-delay (the
+    * reference's `fetcher.max.crawl.delay`, 30 s): a hostile or
+    * misconfigured robots.txt must not stall politeness lanes or
+    * executor threads for hours.
+    */
+  val MaxRobotsDelayMs: Long = 30000L
 }
 
 /** Pluggable fetcher (reference extension point `Protocol`,
@@ -338,11 +345,17 @@ final class CrawlPipeline(
             writeSnapshotNoExchange(baseUntouched.as[CrawlRow], latest, path,
               c.frontierPath)
         latest.unpersist()
-        val bloomPath = writeBlooms(readFrontier(path),
-          s"$root/blooms/$seq", counts.values.sum)
+        val compactMs = (System.nanoTime() - t0) / 1e6
+        val tB = System.nanoTime()
+        val bloomPaths =
+          if (useBloomSeenFilter)
+            Seq(writeBlooms(readFrontier(path), s"$root/blooms/$seq",
+              counts.values.sum))
+          else Nil
         commitStage(seq, c.batchId, "compact", path, counts, now,
-          Map("compactWallMs" -> ((System.nanoTime() - t0) / 1e6)),
-          bloomPaths = Seq(bloomPath))
+          Map("compactWallMs" -> compactMs,
+            "bloomWallMs" -> ((System.nanoTime() - tB) / 1e6)),
+          bloomPaths = bloomPaths)
       }
     }
 
@@ -609,8 +622,11 @@ final class CrawlPipeline(
             val end = start + delay
             // a robots-declared Crawl-delay raises the politeness floor
             // for its host above the config/hostdb delay (reference
-            // FetcherReducer queue setup reads getCrawlDelay)
-            laneAvail(lane) = end + math.max(crawlDelay, robots.crawlDelayMs)
+            // FetcherReducer queue setup reads getCrawlDelay), BOUNDED:
+            // a hostile 'Crawl-delay: 9999999' must not starve the lane
+            // (the reference's fetcher.max.crawl.delay cap, 30 s)
+            laneAvail(lane) = end + math.max(crawlDelay,
+              math.min(robots.crawlDelayMs, RobotRules.MaxRobotsDelayMs))
             Some(f.fetch(r.url) match {
               case RawPage(ct, headers, bytes, declaredLen) =>
                 FetchResult(r.urlHash, r.url, host, FetchOutcome.Success,

@@ -71,10 +71,13 @@ final class HttpFetcher(cfg: HttpConfig = HttpConfig()) extends Fetcher {
   }
 
   def fetch(url: String): RawResponse = {
-    val deadlineNs = System.nanoTime() + cfg.requestBudgetMs * 1000000L
     var conn: HttpURLConnection = null
     try {
       politeWait(Urls.host(url), authorityOf(url))
+      // the T6 budget clock starts AFTER the politeness sleep — a
+      // Crawl-delay comparable to requestBudgetMs must not pre-exhaust
+      // the budget and fail every same-host fetch after the first
+      val deadlineNs = System.nanoTime() + cfg.requestBudgetMs * 1000000L
       conn = new URI(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
       conn.setInstanceFollowRedirects(false)
       conn.setConnectTimeout(cfg.connectTimeoutMs)
@@ -159,8 +162,12 @@ final class HttpFetcher(cfg: HttpConfig = HttpConfig()) extends Fetcher {
     * instead of both reading a stale timestamp and firing together.
     */
   private def politeWait(host: String, authority: String): Unit = {
-    val robotsGap =
-      robotsCache.get(authority).map(_.crawlDelayMs).getOrElse(-1L)
+    // robots delay honored up to the fetcher.max.crawl.delay analog — an
+    // unbounded Thread.sleep from a hostile robots.txt would stall an
+    // executor task thread for hours
+    val robotsGap = math.min(
+      robotsCache.get(authority).map(_.crawlDelayMs).getOrElse(-1L),
+      RobotRules.MaxRobotsDelayMs)
     val gap = math.max(cfg.minHostGapMs, robotsGap)
     if (gap <= 0) return
     val slot = lastHitMs.compute(host) { prev =>

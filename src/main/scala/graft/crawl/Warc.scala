@@ -148,17 +148,7 @@ object Warc {
         // instead of silently parsing zero records
         val fileBytes =
           if (filePath.endsWith(".gz")) Parse.gunzip(raw) else raw
-        parseRecords(fileBytes).flatMap { r =>
-          Urls.canonicalize(r.url).map { u =>
-            val host = Urls.host(u)
-            FetchResult(XxHash64.hashUtf8(u, 42L), u, host,
-              FetchOutcome.Success, r.contentType, null, r.body,
-              r.httpHeaders.get("content-length")
-                .flatMap(_.trim.toLongOption)
-                .getOrElse(r.body.length.toLong),
-              r.httpHeaders, "", 1.0f, 0, 0L, 0L, batchId)
-          }
-        }
+        parseRecords(fileBytes).flatMap(toFetchResult(_, batchId))
       }
   }
 

@@ -374,9 +374,12 @@ object SimilarityOps {
     }
     val centroids = trainCentroids(sample, nCells)
     val unitSample = sample.map(unit)
+    // a corpus smaller than kCodes still trains (fewer codes), instead of
+    // indexing past trainCodebook's take(kCodes) seeding
+    val kEff = math.min(kCodes, unitSample.length)
     val codebooks = Array.tabulate(m)(j =>
       trainCodebook(unitSample.map(_.slice(j * subDim, (j + 1) * subDim)),
-        kCodes))
+        kEff))
 
     val cellOf: Array[Double] => Int = u => {
       var best = 0
@@ -417,7 +420,7 @@ object SimilarityOps {
       .filter(_._1 < nQueries)
       .flatMap { case (id, v) =>
         val u = unit(v)
-        val table = Array.tabulate(m, kCodes)((j, c) =>
+        val table = Array.tabulate(m, kEff)((j, c) =>
           dotArr(u.slice(j * subDim, (j + 1) * subDim), codebooks(j)(c)))
         centroids.indices.map(c => (dotArr(u, centroids(c)), c))
           .sortBy { case (d, c) => (-d, c) }.take(nProbe)

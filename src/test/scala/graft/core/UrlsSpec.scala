@@ -218,6 +218,16 @@ class UrlsSpec extends AnyFunSuite {
     }
   }
 
+  test("normalize rules: a substitution-less block before a full block " +
+    "parses as TWO rules (no cross-block regex fusion)") {
+    val rules = NormalizeRules.parseXml(
+      "<regex-normalize>" +
+        "<regex><pattern>a+</pattern></regex>" + // delete-match rule
+        "<regex><pattern>b</pattern><substitution>c</substitution></regex>" +
+        "</regex-normalize>")
+    assert(rules("xaaayb") === "xyc")
+  }
+
   test("normalize rules: text form, canonicalize integration, " +
     "defaults unchanged") {
     // pattern~substitution text form (F6 rewrite syntax)
