@@ -62,9 +62,11 @@ object SparkEntry {
       ("q_crawl_loop" -> (crawlLoop _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (LSH/MinHash/SimHash/langid/fingerprint — those are verified by
-    * scalatest specs against brute-force/simulator oracles instead).
+    * the same parquet tables. Omitted for the non-SQL-expressible ops
+    * (LSH/IVF/IVF-PQ top-k, embedding near-dup, fingerprint, the crawl
+    * loop — each verified by scalatest specs against brute-force or
+    * simulator oracles instead); everything else, minhash/simhash/langid
+    * included, is oracle-gated.
     */
   def oracleSql: Map[String, String] =
     RelationalOps.oracles ++ TextOps.oracles ++ SimilarityOps.oracles ++

@@ -266,6 +266,20 @@ class HttpFetchSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("politeness sleep does not consume the request budget " +
+    "(gap > budget still fetches)") {
+    // regression: the T6 deadline was computed BEFORE politeWait, so a
+    // politeness gap >= requestBudgetMs pre-exhausted the budget and the
+    // body read failed on every same-host fetch after the first
+    val f = new HttpFetcher(HttpConfig(minHostGapMs = 700,
+      requestBudgetMs = 600, readTimeoutMs = 2000))
+    f.fetch(s"$base/")
+    f.fetch(s"$base/") match { // politeWait sleeps ~700ms > 600ms budget
+      case RawPage(_, _, bytes, _) => assert(bytes.nonEmpty)
+      case other => fail(s"second same-host fetch failed: $other")
+    }
+  }
+
   test("politeness floor: same-host requests observe minHostGapMs") {
     val f = new HttpFetcher(HttpConfig(minHostGapMs = 80,
       readTimeoutMs = 2000))
