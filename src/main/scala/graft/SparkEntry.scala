@@ -63,10 +63,11 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for the non-SQL-expressible ops
-    * (LSH/IVF/IVF-PQ top-k, embedding near-dup, fingerprint, the crawl
-    * loop — each verified by scalatest specs against brute-force or
-    * simulator oracles instead); everything else, minhash/simhash/langid
-    * included, is oracle-gated.
+    * (LSH/IVF/IVF-PQ top-k, embedding near-dup, the crawl loop — each
+    * verified by scalatest specs against brute-force or simulator oracles
+    * instead); everything else — minhash/simhash/langid and even the
+    * 64-bit rolling-hash fingerprint (HUGEINT wrap emulation) — is
+    * oracle-gated.
     */
   def oracleSql: Map[String, String] =
     RelationalOps.oracles ++ TextOps.oracles ++ SimilarityOps.oracles ++

@@ -59,9 +59,18 @@ object NormalizeRules {
     */
   def parseXml(xml: String): NormalizeRules = {
     val clean = CommentRe.replaceAllIn(xml, "")
-    def unent(s: String) = s
-      .replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
-      .replace("&quot;", "\"").replace("&apos;", "'")
+    // single left-to-right pass: sequential replace() would DOUBLE-decode
+    // nested escapes ('&amp;lt;' -> '&lt;' -> '<'), while an XML parser
+    // decodes each entity exactly once ('&amp;lt;' -> '&lt;')
+    val entRe = "&(amp|lt|gt|quot|apos);".r
+    def unent(s: String) = entRe.replaceAllIn(s, m =>
+      scala.util.matching.Regex.quoteReplacement(m.group(1) match {
+        case "amp" => "&"
+        case "lt" => "<"
+        case "gt" => ">"
+        case "quot" => "\""
+        case "apos" => "'"
+      }))
     val withSub = RegexBlockRe.r.findAllMatchIn(clean)
       .map(m => (m.start, (unent(m.group(1).trim).r, unent(m.group(2)))))
     // a <regex> with no <substitution> element deletes the match

@@ -189,10 +189,57 @@ final class CrawlPipeline(
       : Map[String, Long] = {
     // align task partitions with bucket dirs: one file per bucket instead
     // of |tasks| x |buckets| small files (2048 -> 64 at the bench config)
-    rows.repartition(numBuckets, col("bucket"))
+    val (observed, obs) = observeBucketCounts(rows)
+    observed.repartition(numBuckets, col("bucket"))
       .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(path)
-    spark.read.parquet(path).groupBy("bucket").count()
-      .as[(Int, Long)].collect().map { case (b, c) => b.toString -> c }.toMap
+    observedCounts(obs).getOrElse(footerCounts(path))
+  }
+
+  /** Attach a per-bucket row-count observation to a frontier write plan.
+    * The commit log's partition counts come from the WRITE PASS itself —
+    * a snapshot write must not be followed by a full re-scan of the bytes
+    * just written only to count them (at the 10^10-row/2 TB design point
+    * that re-scan doubles every compaction's I/O).
+    */
+  private def observeBucketCounts(rows: Dataset[CrawlRow])
+      : (Dataset[CrawlRow], org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation()
+    val agg = udaf(new BucketCountsAgg(numBuckets))
+    (rows.observe(obs, agg(col("bucket")).as("bucketCounts")), obs)
+  }
+
+  /** Resolve an observed bucket-count map. Fallback (never expected, but
+    * an Observation that misses its listener event would block forever):
+    * parquet FOOTER row counts per bucket dir — metadata reads only,
+    * still no data re-scan.
+    */
+  private def observedCounts(obs: org.apache.spark.sql.Observation)
+      : Option[Map[String, Long]] =
+    try {
+      val row = scala.concurrent.Await.result(obs.future,
+        scala.concurrent.duration.Duration(30, "s"))
+      Some(row.getAs[scala.collection.Map[String, Long]]("bucketCounts")
+        .toMap)
+    } catch {
+      case _: java.util.concurrent.TimeoutException => None
+    }
+
+  private def footerCounts(path: String): Map[String, Long] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = p.getFileSystem(conf)
+    fs.listStatus(p).filter(s => s.isDirectory &&
+      s.getPath.getName.startsWith("bucket=")).flatMap { dir =>
+      val bucket = dir.getPath.getName.stripPrefix("bucket=")
+      val n = fs.listStatus(dir.getPath)
+        .filter(_.getPath.getName.endsWith(".parquet")).map { f =>
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(f.getPath, conf))
+          try reader.getRecordCount finally reader.close()
+        }.sum
+      if (n > 0) Some(bucket -> n) else None
+    }.toMap
   }
 
   def readFrontier(path: String): Dataset[CrawlRow] =
@@ -279,13 +326,23 @@ final class CrawlPipeline(
       math.min(128L << 20, dirBytes(basePath) / targetSplits))
     try {
       conf.set("spark.sql.files.maxPartitionBytes", per.toString)
-      baseUntouched
+      // counts ride on the two write passes (observe) — summing the two
+      // observations replaces the full-table re-scan this writer exists
+      // to avoid paying
+      val (obsBase, o1) = observeBucketCounts(baseUntouched)
+      obsBase
         .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(path)
-      latest.repartition(math.max(1, numBuckets / 8), col("bucket"))
+      val (obsLatest, o2) = observeBucketCounts(latest)
+      obsLatest.repartition(math.max(1, numBuckets / 8), col("bucket"))
         .write.mode(SaveMode.Append).partitionBy("bucket").parquet(path)
+      (observedCounts(o1), observedCounts(o2)) match {
+        case (Some(base), Some(app)) =>
+          app.foldLeft(base) { case (acc, (b, c)) =>
+            acc.updated(b, acc.getOrElse(b, 0L) + c)
+          }
+        case _ => footerCounts(path)
+      }
     } finally conf.set("spark.sql.files.maxPartitionBytes", prevMax)
-    spark.read.parquet(path).groupBy("bucket").count()
-      .as[(Int, Long)].collect().map { case (b, c) => b.toString -> c }.toMap
   }
 
   private def dirBytes(path: String): Long = {
@@ -584,10 +641,15 @@ final class CrawlPipeline(
     // decode/encode), and byte-based coalescing collapses it to one task
     // (measured: identical 24.8s fetch wall at 2 and 32 cores with
     // coalescing on).
+    val sortSc = scoring
     val results = fetchlist
       .groupByKey(r => QueueMode.keyOf(mode, r.host))
       .flatMapGroups { (qkey, rows) =>
-        val sorted = rows.toArray.sortBy(r => (-r.score, r.url))
+        // O5 in-queue order: generator sort value desc, url asc — under a
+        // custom ScoringFilter the fetch order follows the same value the
+        // generate rank used (Default = raw score, unchanged plan)
+        val sorted = rows.toArray
+          .sortBy(r => (-sortSc.generatorSortValueScalar(r.score), r.url))
         // robots cache: one lookup per HOST in the queue group == the
         // per-executor LRU in the reference (robots stay per-host even
         // when the politeness queue is per-domain/IP)
@@ -749,17 +811,33 @@ final class CrawlPipeline(
     */
   private def mergeColumnar(frontier: Dataset[CrawlRow],
       outcomes: Dataset[Outcome], discDist: Dataset[(Long, Int)],
-      nowMs: Long, sched: ScheduleConfig): Dataset[CrawlRow] = {
+      nowMs: Long, sched: ScheduleConfig,
+      cfgIntervals: Option[org.apache.spark.sql.DataFrame] = None)
+      : Dataset[CrawlRow] = {
     import org.apache.spark.sql.functions._
     val dayMs = 24L * 3600 * 1000
     val outDf = outcomes.toDF()
       .withColumnRenamed("signature", "osig")
       .withColumnRenamed("batchId", "obatch")
       .withColumnRenamed("redirectTo", "oredir")
-    val j = frontier.toDF()
+    val j0 = frontier.toDF()
       .join(broadcast(outDf), Seq("urlHash"), "left_outer")
       .join(broadcast(discDist.toDF("urlHash", "newDist")), Seq("urlHash"),
         "left_outer")
+    val j = cfgIntervals match {
+      case Some(ci) => j0.join(broadcast(ci), Seq("urlHash"), "left_outer")
+      case None => j0
+    }
+    // interval basis for rows WITH an outcome: the per-site refresh rule
+    // (NutchConstant.checkInterval — config interval wins when the stored
+    // one has drifted below half of it); identity when no config is set
+    val storedInterval = cfgIntervals match {
+      case Some(_) =>
+        when(col("cfgInterval").isNotNull &&
+          col("fetchInterval") < col("cfgInterval") * 0.5,
+          col("cfgInterval")).otherwise(col("fetchInterval"))
+      case None => col("fetchInterval")
+    }
     val has = col("outcome").isNotNull
     // distance refinement applies regardless of an outcome this batch
     val dist = when(col("newDist").isNotNull &&
@@ -772,7 +850,7 @@ final class CrawlPipeline(
     val retryExceeded = retriesNext > sched.retryMax
     // Gone interval penalty: min(max, (interval * 1.5).toLong).toInt
     val goneInterval = least(lit(sched.maxIntervalSec.toLong),
-      floor(col("fetchInterval") * 1.5)).cast("int")
+      floor(storedInterval * 1.5)).cast("int")
     val newStatus =
       when(eff === FetchOutcome.Success, lit(CrawlStatus.Fetched))
         .when(eff === FetchOutcome.NotModified, lit(CrawlStatus.NotModified))
@@ -784,13 +862,13 @@ final class CrawlPipeline(
         .otherwise(lit(CrawlStatus.RedirPerm))
     val newFetchTime =
       when(eff === FetchOutcome.RetryTransient,
-        when(retryExceeded, lit(nowMs) + col("fetchInterval") * 1000L)
+        when(retryExceeded, lit(nowMs) + storedInterval * 1000L)
           .otherwise(lit(nowMs + dayMs)))
         .when(eff === FetchOutcome.Gone, lit(nowMs) + goneInterval * 1000L)
-        .otherwise(lit(nowMs) + col("fetchInterval") * 1000L)
+        .otherwise(lit(nowMs) + storedInterval * 1000L)
     val newInterval =
       when(eff === FetchOutcome.Gone, goneInterval)
-        .otherwise(col("fetchInterval"))
+        .otherwise(storedInterval)
     val newRetries =
       when(eff === FetchOutcome.RetryTransient, retriesNext)
         .when(eff === FetchOutcome.Success ||
@@ -828,7 +906,9 @@ final class CrawlPipeline(
   /** Typed merge (adaptive schedules; also the readable reference form). */
   private def mergeTyped(frontier: Dataset[CrawlRow],
       outcomes: Dataset[Outcome], discDist: Dataset[(Long, Int)],
-      now: Long, sched: ScheduleConfig): Dataset[CrawlRow] =
+      now: Long, sched: ScheduleConfig,
+      refreshCfgInterval: Boolean = false): Dataset[CrawlRow] = {
+    val trie = trieBc
     frontier
       .joinWith(broadcast(outcomes),
         frontier("urlHash") === outcomes("urlHash"), "left_outer")
@@ -836,10 +916,21 @@ final class CrawlPipeline(
         .as[(Long, Int)]),
         org.apache.spark.sql.functions.col("_1.urlHash") ===
           org.apache.spark.sql.functions.col("urlHash"), "left_outer")
-      .map { case ((row0, out), dd) =>
-        val row =
+      .map { case ((row0, outRaw), dd) =>
+        val row1 =
           if (dd == null || dd._2 >= row0.distance) row0
           else row0.copy(distance = dd._2)
+        val out = outRaw
+        // per-site interval refresh on re-crawl (scalar twin of the
+        // columnar storedInterval rule; NutchConstant.checkInterval)
+        val row =
+          if (out == null || !refreshCfgInterval) row1
+          else {
+            val ci = trie.value.configOrDefault(row1.url).customIntervalSec
+            if (ci > 0 && row1.fetchInterval < ci * 0.5)
+              row1.copy(fetchInterval = ci)
+            else row1
+          }
         if (out == null) row
         else {
           val st0 = graft.core.ScheduleState(row.status, row.fetchTime,
@@ -869,6 +960,7 @@ final class CrawlPipeline(
             lastBatch = out.batchId)
         }
       }
+  }
 
   // --------------------------------------------------------------- updatedb
 
@@ -962,9 +1054,27 @@ final class CrawlPipeline(
     val touched = frontier
       .join(broadcast(touchedKeys), Seq("urlHash"), "left_semi")
       .as[CrawlRow]
+    // Per-site interval re-applied on RE-CRAWL (reference
+    // DbConfigFetchSchedule.shouldFetch -> NutchConstant.checkInterval
+    // :975-989: a stored interval below HALF the config's customInterval
+    // is reset to the config value at schedule time) — a site whose trie
+    // config changes after discovery picks the new interval up at its
+    // next merge instead of keeping the discovery-time schedule forever.
+    // The probe is bounded: touched is topN-bounded, and only rows under
+    // a customIntervalSec > 0 config survive; with no per-site config the
+    // merge plan is byte-identical to before (None => no join planned).
+    val cfgIntervals: Option[org.apache.spark.sql.DataFrame] =
+      if (!hasPerSiteCaps) None
+      else Some(touched
+        .map(r =>
+          (r.urlHash, trie.value.configOrDefault(r.url).customIntervalSec))
+        .filter(_._2 > 0).toDF("urlHash", "cfgInterval"))
     val merged: Dataset[CrawlRow] =
-      if (sched.adaptive) mergeTyped(touched, outcomes, discDist, now, sched)
-      else mergeColumnar(touched, outcomes, discDist, now, sched)
+      if (sched.adaptive)
+        mergeTyped(touched, outcomes, discDist, now, sched,
+          refreshCfgInterval = hasPerSiteCaps)
+      else mergeColumnar(touched, outcomes, discDist, now, sched,
+        cfgIntervals)
     // ScoringFilter updateDbScore hook for EXISTING rows, as a columnar
     // step shared by both merge forms; skipped entirely (no join in the
     // plan) for filters that keep stored scores, like Default
@@ -998,6 +1108,7 @@ final class CrawlPipeline(
     discAgg.persist() // consumed by both bloom branches
     val prev = lastState()
     val bloomChain = prev.map(_.blooms).getOrElse(Nil)
+    var checkedCache: Option[Dataset[(Discovered, Boolean)]] = None
     val newDiscoveries =
       if (!additions) spark.emptyDataset[Discovered]
       else if (useBloomSeenFilter && bloomChain.nonEmpty) {
@@ -1006,6 +1117,9 @@ final class CrawlPipeline(
           .map(p => spark.read.parquet(p))
           .reduce(_ unionByName _)
           .select(col("bucket"), col("bytes")).as[(Int, Array[Byte])]
+        // persisted: consumed by definitelyNew AND (twice) by the
+        // flipped exact check — without it the bloom cogroup recomputes
+        // per consumer
         val checked = discAgg
           .groupByKey(_.bucket)
           .cogroup(blooms.groupByKey(_._1)) { (_, discs, bs) =>
@@ -1015,14 +1129,13 @@ final class CrawlPipeline(
             if (filters.isEmpty) discs.map(d => (d, false))
             else discs.map(d => (d, filters.exists(_.mightContain(d.urlHash))))
           }
+          .persist()
+        checkedCache = Some(checked)
         val definitelyNew = checked.filter(c => !c._2).map(_._1)
         val maybeSeen = checked.filter(c => c._2).map(_._1)
-        definitelyNew.union(
-          maybeSeen.join(frontier.select(col("urlHash")), Seq("urlHash"),
-            "left_anti").as[Discovered])
+        definitelyNew.union(notInFrontier(frontier, maybeSeen))
       } else
-        discAgg.join(frontier.select(col("urlHash")), Seq("urlHash"),
-          "left_anti").as[Discovered]
+        notInFrontier(frontier, discAgg)
 
     val newRows = newDiscoveries
       .filter(_.distance <= depthCap)
@@ -1095,19 +1208,23 @@ final class CrawlPipeline(
           bloomPaths = bloomPaths)
       } else {
         val deltaPath = s"$root/frontier/delta-$seq"
-        delta.repartition(math.max(1, numBuckets / 8), col("bucket"))
+        // lineage counts for a delta commit describe the DELTA files — no
+        // extra full-view pass per batch, and the counts ride on the
+        // write itself (observe). rowCount upper-bounds the logical state
+        // (prev total + delta rows; touched rows double in the bound) —
+        // its only consumer is bloom sizing, where an over-estimate just
+        // lowers the fpp.
+        val (obsDelta, oD) = observeBucketCounts(delta)
+        obsDelta.repartition(math.max(1, numBuckets / 8), col("bucket"))
           .write.mode(SaveMode.Overwrite).parquet(deltaPath)
         val basePath = prev.map(_.frontierPath).getOrElse("")
         val deltas = prev.map(_.deltas).getOrElse(Nil) :+ deltaPath
         val mergeMs = (System.nanoTime() - t0) / 1e6
-        // lineage counts for a delta commit describe the DELTA files — no
-        // extra full-view pass per batch. rowCount upper-bounds the
-        // logical state (prev total + delta rows; touched rows double in
-        // the bound) — its only consumer is bloom sizing, where an
-        // over-estimate just lowers the fpp.
-        val deltaCounts = spark.read.parquet(deltaPath)
-          .groupBy(col("bucket")).count().as[(Int, Long)].collect()
-          .map { case (b, c) => b.toString -> c }.toMap
+        // fallback re-scan is DELTA-sized (topN-bounded), never the view
+        val deltaCounts = observedCounts(oD).getOrElse(
+          spark.read.parquet(deltaPath).groupBy(col("bucket")).count()
+            .as[(Int, Long)].collect()
+            .map { case (b, c) => b.toString -> c }.toMap)
         val total = prev.map(_.rowCount).getOrElse(0L) + deltaCounts.values.sum
         // incremental seen-set: a delta-sized bloom generation over this
         // batch's delta rows (changed rows re-add already-seen keys —
@@ -1125,7 +1242,33 @@ final class CrawlPipeline(
           now, deltas, blooms))
       }
     discAgg.unpersist()
+    checkedCache.foreach(_.unpersist())
     viewOf(result)
+  }
+
+  /** D1 exact seen-check: candidates absent from the frontier, with BOTH
+    * joins oriented so the frontier NEVER shuffles. A naive
+    * `cands LEFT ANTI frontier` cannot broadcast (the build side of an
+    * anti-join is its RIGHT side, and the right side here would be the
+    * 10^10-row frontier), so Spark would sort-merge it — a full
+    * frontier-key shuffle (~80 GB at design scale) per batch. Instead:
+    * (1) probe the frontier with the topN-bounded candidate keys via a
+    * broadcast-right LEFT SEMI — the frontier is scanned in place, never
+    * exchanged, and the output (the candidate keys actually present) is
+    * candidate-bounded; (2) anti-join the candidates against that small
+    * present-set, also broadcast. Mirrors the `touched` semi-join above;
+    * the reference needed a full partition/sort pass of the webtable per
+    * updatedb instead (crawl/UrlWithScore.java:124-195). Plan shape is
+    * spec-pinned: no Exchange may appear above the frontier scan.
+    */
+  private[crawl] def notInFrontier(frontier: Dataset[CrawlRow],
+      cands: Dataset[Discovered]): Dataset[Discovered] = {
+    val seenKeys = frontier
+      .join(broadcast(cands.select(col("urlHash"))), Seq("urlHash"),
+        "left_semi")
+      .select(col("urlHash"))
+    cands.join(broadcast(seenKeys), Seq("urlHash"), "left_anti")
+      .as[Discovered]
   }
 
   // --------------------------------------------------------------- hostdb
@@ -1139,8 +1282,14 @@ final class CrawlPipeline(
     * materialized from the config trie so the NEXT batch's fetch reads
     * them as a bounded table lookup.
     */
-  def hostdb(frontier: Dataset[CrawlRow], batchId: String, now: Long)
-      : Dataset[HostRow] = {
+  /** Top-K host->host link histograms kept per hostdb row (reference
+    * HostDbUpdateReducer.java:46-72). K bounds the row width — the
+    * reference's own `TODO: limit number of links`.
+    */
+  private val hostLinkTopK = 50
+
+  def hostdb(frontier: Dataset[CrawlRow], batchId: String, now: Long,
+      parsed: Dataset[ParsedPage] = null): Dataset[HostRow] = {
     val trie = trieBc
     val defaultDelay = webCfg.crawlDelayMs
     val defaultLanes = math.max(1, webCfg.maxConcurrent)
@@ -1153,15 +1302,60 @@ final class CrawlPipeline(
       avg(col("score")).as("avgScore"),
       max(col("distance")).as("maxDistance"))
       .as[(String, Long, Long, Long, Long, Double, Int)]
-    val out = agg.map { case (host, pages, fetched, gone, unf, avgS, maxD) =>
+    val stats = agg.map { case (host, pages, fetched, gone, unf, avgS, maxD) =>
       val cfg = trie.value.configOrDefault(s"http://$host/")
       HostRow(host, pages, fetched, gone, unf, avgS, maxD,
         if (cfg.crawlDelayMs > 0) cfg.crawlDelayMs else defaultDelay,
         if (cfg.maxConcurrent > 1) cfg.maxConcurrent else defaultLanes,
-        batchId)
+        Map.empty, Map.empty, batchId)
     }
+    // A3 link-host histograms (HostDbUpdateReducer.java:46-72): explode
+    // this batch's parsed outlinks into (srcHost, dstHost) pairs,
+    // count-aggregate (map-side partial — the explosion collapses before
+    // its one shuffle), then top-K per host in each direction. Input is
+    // the BATCH's parse output (topN-bounded), never the frontier.
+    var pairsCache: Option[org.apache.spark.sql.DataFrame] = None
+    val out: Dataset[HostRow] =
+      if (parsed == null) stats
+      else {
+        val hostOf = udf((u: String) => Urls.host(u))
+        val pairs = parsed
+          .select(col("host").as("srcHost"),
+            explode(map_keys(col("outlinks"))).as("dst"))
+          .select(col("srcHost"), hostOf(col("dst")).as("dstHost"))
+          .groupBy(col("srcHost"), col("dstHost"))
+          .agg(count(lit(1)).as("links"))
+          .persist() // feeds both histogram directions
+        pairsCache = Some(pairs)
+        def topK(keyCol: String, valCol: String, outName: String) = {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col(keyCol))
+            .orderBy(col("links").desc, col(valCol).asc)
+          pairs
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") <= hostLinkTopK)
+            .groupBy(col(keyCol).as("host"))
+            .agg(map_from_arrays(collect_list(col(valCol)),
+              collect_list(col("links"))).as(outName))
+        }
+        val emptyHist = map().cast("map<string,bigint>")
+        val joined = stats.toDF()
+          .join(topK("srcHost", "dstHost", "outHist"), Seq("host"),
+            "left_outer")
+          .join(topK("dstHost", "srcHost", "inHist"), Seq("host"),
+            "left_outer")
+          .withColumn("outLinkHosts",
+            coalesce(col("outHist"), emptyHist))
+          .withColumn("inLinkHosts", coalesce(col("inHist"), emptyHist))
+          .drop("outHist", "inHist")
+        val res = joined
+          .select(stats.toDF().columns.map(col).toIndexedSeq: _*)
+          .as[HostRow]
+        res
+      }
     val path = s"$root/hostdb/$batchId"
     out.write.mode(SaveMode.Overwrite).parquet(path)
+    pairsCache.foreach(_.unpersist())
     val res = spark.read.parquet(path).as[HostRow]
     commitStage(log.nextSeq(), batchId, "hostdb", path,
       Map("all" -> res.count()), now)
@@ -1218,7 +1412,7 @@ final class CrawlPipeline(
             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           frontier.unpersist()
           frontier = next
-          hostdb(frontier, batchId, now)
+          hostdb(frontier, batchId, now, parsedRows)
         }
       }
     }
@@ -1247,4 +1441,33 @@ object QueueMode {
     case ByIP => SyntheticWeb.resolveIp(host)
     case m => throw new IllegalArgumentException(s"queue mode $m")
   }
+}
+
+/** Per-bucket row-count aggregate for `observe()` on frontier writes: a
+  * primitive long array buffer (one slot per bucket — ~32 KB at the
+  * 4096-bucket design point), merged per task, finished into the sparse
+  * `bucket -> count` map the commit log stores. Lets the write job emit
+  * its own lineage counts instead of a post-write re-scan.
+  */
+private[crawl] final class BucketCountsAgg(nb: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[
+      Int, Array[Long], Map[String, Long]] {
+  import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+  import org.apache.spark.sql.Encoder
+
+  def zero: Array[Long] = new Array[Long](nb)
+  def reduce(buf: Array[Long], bucket: Int): Array[Long] = {
+    buf(bucket) += 1L; buf
+  }
+  def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+  def finish(r: Array[Long]): Map[String, Long] =
+    r.iterator.zipWithIndex
+      .collect { case (c, b) if c > 0 => b.toString -> c }.toMap
+  def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  def outputEncoder: Encoder[Map[String, Long]] =
+    ExpressionEncoder[Map[String, Long]]()
 }

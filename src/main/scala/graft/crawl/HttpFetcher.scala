@@ -170,9 +170,7 @@ final class HttpFetcher(cfg: HttpConfig = HttpConfig()) extends Fetcher {
       RobotRules.MaxRobotsDelayMs)
     val gap = math.max(cfg.minHostGapMs, robotsGap)
     if (gap <= 0) return
-    val slot = lastHitMs.compute(host) { prev =>
-      math.max(System.currentTimeMillis(), prev.getOrElse(0L) + gap)
-    }
+    val slot = lastHitMs.claim(host, System.currentTimeMillis(), gap)
     val wait = slot - System.currentTimeMillis()
     if (wait > 0) Thread.sleep(wait)
   }
@@ -236,11 +234,38 @@ object HttpFetcher {
     def size: Int = m.synchronized(m.size)
   }
 
-  // per-executor-JVM shared state: robots rules per authority, last
-  // claimed request slot per host (politeness floor). Bounded: evicting
-  // a hot entry only re-fetches robots / resets one host's floor.
+  /** Per-host politeness slot map. NOT an LRU: plain LRU eviction could
+    * drop a HOT host's still-pending slot once active hosts exceed the
+    * bound, letting the next same-host request fire before its
+    * minHostGapMs/Crawl-delay elapsed. Instead, when the soft bound is
+    * exceeded, only entries whose slot can no longer constrain a future
+    * claim (slot + largest-gap-seen already in the past) are swept — a
+    * pending or recent slot is never lost, and the map size is bounded by
+    * the number of hosts ACTIVE within one politeness window rather than
+    * a fixed count.
+    */
+  private[crawl] final class SlotMap(softMax: Int) {
+    private val m = new java.util.HashMap[String, Long]()
+    private var maxGapSeen = 1L
+    def claim(host: String, now: Long, gap: Long): Long = m.synchronized {
+      if (gap > maxGapSeen) maxGapSeen = gap
+      if (m.size > softMax) {
+        val cutoff = now - maxGapSeen
+        val it = m.entrySet().iterator()
+        while (it.hasNext) if (it.next().getValue < cutoff) it.remove()
+      }
+      val slot = math.max(now, m.getOrDefault(host, 0L) + gap)
+      m.put(host, slot)
+      slot
+    }
+    def size: Int = m.synchronized(m.size)
+  }
+
+  // per-executor-JVM shared state: robots rules per authority (LRU —
+  // eviction only re-fetches robots), last claimed request slot per host
+  // (slot-aware sweep — eviction must never break politeness)
   private val robotsCache = new LruMap[String, RobotRules](8192)
-  private val lastHitMs = new LruMap[String, Long](8192)
+  private val lastHitMs = new SlotMap(8192)
 
   /** Robots.txt group parser: consecutive `User-agent` lines open a
     * group; its `Allow`/`Disallow` values are path PREFIXES combined by

@@ -83,11 +83,27 @@ object Parse {
   private val MetaCharsetRe =
     "(?i)<meta[^>]*charset=[\"']?([\\w-]+)".r
 
-  /** Charset resolution order (EncodingDetector semantics): Content-Type
-    * header parameter, then a `<meta charset=...>` sniff of the first 1024
-    * bytes (ASCII-superset safe), else UTF-8.
+  /** Charset resolution order (reference util/EncodingDetector.java —
+    * declared sources first, BYTE SNIFF when they lie or are absent):
+    *  1. a BOM is authoritative (UTF-8 / UTF-16LE / UTF-16BE);
+    *  2. Content-Type header parameter, then `<meta charset=...>` in the
+    *     first 1024 bytes — EXCEPT that a declared single-byte Latin
+    *     charset is overridden to UTF-8 when the head bytes contain a
+    *     valid multi-byte UTF-8 sequence (a mislabeled UTF-8 page would
+    *     otherwise decode as mojibake straight into the corpus; valid
+    *     non-ASCII UTF-8 appearing by chance in real Latin-1 text is
+    *     statistically negligible);
+    *  3. no declaration: UTF-8 if the head validates (pure ASCII included),
+    *     else ISO-8859-1 (any byte sequence is valid Latin-1).
     */
   def detectCharset(contentType: String, bytes: Array[Byte]): Charset = {
+    if (bytes.length >= 3 && bytes(0) == 0xEF.toByte &&
+      bytes(1) == 0xBB.toByte && bytes(2) == 0xBF.toByte)
+      return StandardCharsets.UTF_8
+    if (bytes.length >= 2 && bytes(0) == 0xFF.toByte &&
+      bytes(1) == 0xFE.toByte) return StandardCharsets.UTF_16LE
+    if (bytes.length >= 2 && bytes(0) == 0xFE.toByte &&
+      bytes(1) == 0xFF.toByte) return StandardCharsets.UTF_16BE
     val fromHeader = Option(contentType)
       .flatMap(ct => HeaderCharsetRe.findFirstMatchIn(ct))
       .map(_.group(1))
@@ -96,9 +112,53 @@ object Parse {
         StandardCharsets.ISO_8859_1)
       MetaCharsetRe.findFirstMatchIn(head).map(_.group(1))
     }
+    val (utf8Valid, utf8Multibyte) = sniffUtf8(bytes)
     name.flatMap { n =>
       try Some(Charset.forName(n)) catch { case _: Exception => None }
-    }.getOrElse(StandardCharsets.UTF_8)
+    } match {
+      case Some(cs)
+          if isLatinFamily(cs) && utf8Valid && utf8Multibyte =>
+        StandardCharsets.UTF_8 // declared charset lies; the bytes don't
+      case Some(cs) => cs
+      case None =>
+        if (utf8Valid) StandardCharsets.UTF_8
+        else StandardCharsets.ISO_8859_1
+    }
+  }
+
+  private def isLatinFamily(cs: Charset): Boolean = {
+    val n = cs.name.toLowerCase
+    n.startsWith("iso-8859-") || n.startsWith("windows-125") ||
+      n == "us-ascii"
+  }
+
+  /** (validUtf8, sawMultibyteSequence) over the first 8 KB. */
+  private def sniffUtf8(bytes: Array[Byte]): (Boolean, Boolean) = {
+    val n = math.min(8192, bytes.length)
+    var i = 0
+    var multi = false
+    while (i < n) {
+      val b = bytes(i) & 0xFF
+      val len =
+        if (b < 0x80) 1
+        else if ((b & 0xE0) == 0xC0) 2
+        else if ((b & 0xF0) == 0xE0) 3
+        else if ((b & 0xF8) == 0xF0) 4
+        else return (false, multi)
+      if (len > 1) {
+        // a sequence truncated by the sniff window (or a truncated
+        // transfer) is not evidence of invalid UTF-8 — stop leniently
+        if (i + len > n) return (true, multi)
+        var k = 1
+        while (k < len) {
+          if ((bytes(i + k) & 0xC0) != 0x80) return (false, multi)
+          k += 1
+        }
+        multi = true
+      }
+      i += len
+    }
+    (true, multi)
   }
 
   // --------------------------------------------- entity decode (C8)

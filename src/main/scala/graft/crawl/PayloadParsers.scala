@@ -58,6 +58,13 @@ object PayloadParsers {
       case "text/plain" => Some(PlainText)
       case "application/pdf" => Some(Pdf)
       case "application/zip" | "application/java-archive" => Some(Zip)
+      case "text/javascript" | "application/javascript" |
+          "application/x-javascript" => Some(JavaScript)
+      // OOXML (docx/xlsx/pptx) = zip-of-XML: the Zip walker + Xml parser
+      // compose; hyperlinks ride in _rels parts (reference routes these
+      // through parse-tika — ParserFactory.java:87 type dispatch)
+      case t if t.startsWith("application/vnd.openxmlformats-") =>
+        Some(Ooxml)
       case t if t.endsWith("+json") => Some(Json)
       case t if t.endsWith("+xml") => Some(Xml)
       case _ => None
@@ -260,8 +267,40 @@ object PayloadParsers {
 
   // ----------------------------------------------------------------- pdf
 
-  private val PdfStreamRe =
-    "(?s)<<(.{0,2048}?)>>\\s*stream\\r?\\n".r
+  // the dict CLOSE immediately before a stream keyword; the dict START is
+  // found by balancing '<<'/'>>' backwards from it — a lazy `<<(.*?)>>`
+  // match would stop at the first '>>' inside a NESTED dict (e.g.
+  // /DecodeParms<<...>> before /Filter) and hide the /FlateDecode that
+  // follows, so the deflate bytes would be scanned as clear text
+  private val PdfStreamStartRe =
+    "(?s)>>\\s*stream\\r?\\n".r
+
+  /** Start index of the stream dict whose `>>` is at `close`, by
+    * backward `<<`/`>>` balancing (bounded span); -1 when unbalanced.
+    */
+  private[crawl] def pdfDictStart(raw: String, close: Int,
+      maxSpan: Int = 4096): Int = {
+    var depth = 1
+    var i = close - 1
+    val floor = math.max(0, close - maxSpan)
+    // run-length walk: a run of n '<' or '>' is n/2 delimiter tokens
+    // (right-aligned), so adjacent tokens like `>>>>` count correctly
+    while (i >= floor) {
+      val c = raw.charAt(i)
+      if (c == '>' || c == '<') {
+        var j = i
+        while (j >= floor && raw.charAt(j) == c) j -= 1
+        val pairs = (i - j) / 2
+        if (c == '>') depth += pairs
+        else {
+          if (pairs >= depth) return i - 1 - 2 * (depth - 1)
+          depth -= pairs
+        }
+        i = j
+      } else i -= 1
+    }
+    -1
+  }
   private val PdfStringOpRe =
     "(?s)\\(((?:\\\\.|[^\\\\()])*)\\)\\s*(?:Tj|'|\")".r
   private val PdfArrayOpRe = "(?s)\\[((?:\\\\.|[^\\]])*)\\]\\s*TJ".r
@@ -325,8 +364,11 @@ object PayloadParsers {
         throw new IllegalArgumentException("not a PDF")
       val text = new StringBuilder
       val links = scala.collection.mutable.LinkedHashMap[String, String]()
-      PdfStreamRe.findAllMatchIn(raw).foreach { m =>
-        val dict = m.group(1)
+      PdfStreamStartRe.findAllMatchIn(raw).foreach { m =>
+        val ds = pdfDictStart(raw, m.start)
+        // full dict span INCLUDING nested dicts — /Filter /FlateDecode
+        // must be found even after a /DecodeParms<<...>> sub-dict
+        val dict = if (ds >= 0) raw.substring(ds, m.start) else ""
         val start = m.end
         val end = raw.indexOf("endstream", start)
         if (end > start) {
@@ -404,6 +446,108 @@ object PayloadParsers {
         }
       } finally zin.close()
       ParseOut(links.toMap, text.toString.trim, Parse.StatusOk)
+    }
+  }
+
+  // ---------------------------------------------------------- ooxml (docx)
+
+  // OOXML content parts that carry document text (docx body/notes, xlsx
+  // shared strings, pptx slides); everything else in the package is
+  // styling/metadata noise
+  private def isOoxmlContentPart(name: String): Boolean =
+    name == "word/document.xml" || name == "word/footnotes.xml" ||
+      name == "word/endnotes.xml" || name == "xl/sharedStrings.xml" ||
+      (name.startsWith("ppt/slides/") && name.endsWith(".xml") &&
+        !name.contains("_rels"))
+
+  private val RelsTargetRe =
+    """Target="(https?://[^"]+)"""".r
+
+  /** OOXML (docx/xlsx/pptx): a zip of XML parts. Text comes from the
+    * content parts via the XML parser (tag strip — `<w:t>` runs etc.);
+    * outlinks from `_rels` relationship parts' external `Target`
+    * attributes (how Word stores hyperlinks) plus any URL-shaped text the
+    * XML parser finds. Same entry/total caps as Zip.
+    */
+  object Ooxml extends PayloadParser {
+    def parse(url: String, ct: String, bytes: Array[Byte]): ParseOut = {
+      val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
+      val text = new StringBuilder
+      val links = scala.collection.mutable.LinkedHashMap[String, String]()
+      var entries = 0
+      var total = 0
+      var sawPart = false
+      try {
+        var e = zin.getNextEntry
+        while (e != null && entries < ZipMaxEntries &&
+          total < ZipMaxTotalBytes) {
+          if (!e.isDirectory) {
+            entries += 1
+            val name = e.getName
+            if (isOoxmlContentPart(name)) {
+              sawPart = true
+              val body = readCapped(zin, ZipMaxEntryBytes)
+              total += body.length
+              try {
+                val po = Xml.parse(url, "application/xml", body)
+                if (po.text.nonEmpty) text.append(po.text).append(' ')
+                po.outlinks.foreach { case (u, a) =>
+                  if (!links.contains(u)) links(u) = a
+                }
+              } catch { case _: Exception => }
+            } else if (name.endsWith(".rels")) {
+              val body = readCapped(zin, ZipMaxEntryBytes)
+              total += body.length
+              val xml = new String(body, StandardCharsets.UTF_8)
+              RelsTargetRe.findAllMatchIn(xml).foreach { m =>
+                Urls.resolveOutlink(url, m.group(1)).foreach { u =>
+                  if (!links.contains(u)) links(u) = ""
+                }
+              }
+            }
+          }
+          e = zin.getNextEntry
+        }
+      } finally zin.close()
+      if (!sawPart)
+        throw new IllegalArgumentException("no OOXML content part")
+      ParseOut(links.toMap, text.toString.trim, Parse.StatusOk)
+    }
+  }
+
+  // ------------------------------------------------------------ javascript
+
+  private val JsStringRe =
+    """"((?:\\.|[^"\\])*)"|'((?:\\.|[^'\\])*)'""".r
+  private val JsRelativeRe =
+    """[A-Za-z0-9_./-]+\.(?:html?|php|jsp|aspx?|js|css|png|jpe?g|gif|pdf)(?:[?#][^\s]*)?""".r
+
+  /** JavaScript link extraction (reference parse-js JSParseFilter:
+    * string literals that look like URLs become outlinks): absolute
+    * http(s) literals and relative-path-shaped literals resolve against
+    * the page URL. Script text is NOT corpus text — text stays empty.
+    */
+  object JavaScript extends PayloadParser {
+    def parse(url: String, ct: String, bytes: Array[Byte]): ParseOut = {
+      val src = new String(bytes, charsetOf(ct, bytes))
+      val links = scala.collection.mutable.LinkedHashMap[String, String]()
+      JsStringRe.findAllMatchIn(src).foreach { m =>
+        val lit = Option(m.group(1)).getOrElse(m.group(2))
+        val candidate =
+          if (lit.startsWith("http://") || lit.startsWith("https://") ||
+            lit.startsWith("//")) Some(lit)
+          else if (lit.startsWith("/") && lit.length > 1 &&
+            !lit.startsWith("//")) Some(lit)
+          else if (JsRelativeRe.pattern.matcher(lit).matches() &&
+            !lit.endsWith(".js") && !lit.endsWith(".css")) Some(lit)
+          else None
+        candidate.foreach { c =>
+          Urls.resolveOutlink(url, c).foreach { u =>
+            if (!links.contains(u)) links(u) = ""
+          }
+        }
+      }
+      ParseOut(links.toMap, "", Parse.StatusOk)
     }
   }
 

@@ -55,11 +55,20 @@ trait ScoringFilter extends Serializable {
   def updatesExistingScores: Boolean = false
 
   /** Generator sort value (reference generatorSortValue): the Column
-    * generate ranks and topN-selects by. NOTE the ordering contract —
-    * in-queue fetch order stays (score desc, url asc); a custom sort
-    * value changes which rows are SELECTED, not the politeness ordering.
+    * generate ranks and topN-selects by. The fetch stage's IN-QUEUE
+    * ordering follows the same value via [[generatorSortValueScalar]].
     */
   def generatorSortValue(score: Column): Column = score
+
+  /** Scalar twin of [[generatorSortValue]] for the fetch scheduler's
+    * in-queue ordering (the reference sorts its FetchItemQueues by the
+    * generator sort value carried on the key, GeneratorJob SelectorEntry).
+    * MUST compute the same function as the Column form — generate decides
+    * WHICH rows fetch, this decides the per-queue order; divergent
+    * implementations would make fetch order disagree with generate rank.
+    * Default: identity (raw score), matching the Column default.
+    */
+  def generatorSortValueScalar(score: Float): Float = score
 }
 
 object ScoringFilter {

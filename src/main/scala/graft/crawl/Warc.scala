@@ -212,9 +212,12 @@ object Warc {
       val buf =
         if (carry.isEmpty && n == fresh.length) fresh
         else carry ++ java.util.Arrays.copyOf(fresh, n)
-      // without EOF, stop `overlap` short so validation never runs off
-      // the window; those positions rescan next round via the carry
-      val limit = if (eof) buf.length - 16 else buf.length - overlap
+      // without EOF, stop STRICTLY short of the overlap boundary: a
+      // candidate at exactly buf.length - overlap would validate with
+      // only the 1 KB lookahead (a long FNAME/FEXTRA header could fail
+      // there and the range silently coarsen) — leaving it to the next
+      // round's carry re-validates it with a full window
+      val limit = if (eof) buf.length - 16 else buf.length - overlap - 1
       var i = math.max(0, (absNext - baseOff).toInt)
       while (i <= limit) {
         if (buf(i) == 0x1f.toByte && buf(i + 1) == 0x8b.toByte &&
@@ -310,22 +313,30 @@ object Warc {
     import spark.implicits._
     val confBc = spark.sparkContext.broadcast(
       new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+    // plain (non-.gz) .warc files matched by the glob are NOT dropped:
+    // they get one whole-file range each and skip gunzip in the parse
+    // stage (no silent cap — a directory mixing .warc and .warc.gz reads
+    // completely; a plain WARC has no member boundaries to split on)
     val files = spark.read.format("binaryFile").load(path)
       .select("path").as[String]
-      .filter((p: String) => p.endsWith(".gz"))
     val ranges = files.flatMap { p =>
       val hp = new org.apache.hadoop.fs.Path(p)
       val fs = hp.getFileSystem(confBc.value.value)
       val len = fs.getFileStatus(hp).getLen
-      val in = fs.open(hp)
-      val offsets = try memberOffsets(in) finally in.close()
-      rangesOf(p, offsets, len, targetChunkBytes)
+      if (!p.endsWith(".gz")) Seq(MemberRange(p, 0L, len))
+      else {
+        val in = fs.open(hp)
+        val offsets = try memberOffsets(in) finally in.close()
+        rangesOf(p, offsets, len, targetChunkBytes)
+      }
     }.collect() // ~1 row per 16 MB of archive: tiny on the driver
     spark.createDataset(ranges.toSeq)
       .repartition(math.max(1, ranges.length))
       .flatMap { r =>
         val span = readRange(r.path, r.start, r.end, confBc.value.value)
-        parseRecords(Parse.gunzip(span)).flatMap(toFetchResult(_, batchId))
+        val records =
+          if (r.path.endsWith(".gz")) Parse.gunzip(span) else span
+        parseRecords(records).flatMap(toFetchResult(_, batchId))
       }
   }
 

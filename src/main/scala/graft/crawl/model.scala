@@ -100,6 +100,15 @@ final case class ParsedPage(
   * plus the EFFECTIVE politeness settings (the reference's q_cd/q_mt host
   * keys, fetcher/FetcherReducer.java:363-387) materialized from the config
   * trie so the fetch stage reads them as a table lookup, not a trie walk.
+  *
+  * `inLinkHosts`/`outLinkHosts` are the reference's per-host link
+  * histograms (HostDbUpdateReducer.java:46-72 builds `Histogram<String>`
+  * of linking/linked hosts via util/Histogram.java:21-59, stored as the
+  * Host record's inlinks/outlinks maps): for this host, the top-K hosts
+  * it links TO (`outLinkHosts`) and the top-K hosts linking INTO it
+  * (`inLinkHosts`), with link counts — the link-farm / frontier-drift
+  * signal. Top-K-bounded (the reference's `TODO: limit number of links`
+  * actually done) so a hub host cannot balloon its row.
   */
 final case class HostRow(
     host: String,
@@ -111,6 +120,8 @@ final case class HostRow(
     maxDistance: Int,
     crawlDelayMs: Long,
     maxConcurrent: Int,
+    inLinkHosts: Map[String, Long],
+    outLinkHosts: Map[String, Long],
     batchId: String)
 
 /** One fetch outcome keyed for the updatedb broadcast merge. */

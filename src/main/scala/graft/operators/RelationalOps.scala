@@ -145,6 +145,24 @@ object RelationalOps {
       .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("total"),
         round(avg(col("value")), 6).as("avg_value"))
 
+  /** A3 host link histograms (reference host/HostDbUpdateReducer.java:46-72
+    * builds per-host Histogram<String> of linking/linked hosts): the
+    * two-level shape — pair-count aggregate, then per-key top-K of
+    * counterparties — over (suppkey -> partkey) as the host->host analog.
+    * Both aggregates are partial+final hash aggs; the window shuffles
+    * |pairs| rows (already collapsed), never |lineitem|.
+    */
+  def hostLinkHist(s: SparkSession, dir: String): DataFrame = {
+    val pairs = t(s, dir, "lineitem")
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(count(lit(1)).as("links"))
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("links").desc, col("l_partkey").asc)
+    pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("l_suppkey"), col("l_partkey"), col("links"))
+  }
+
   /** T-analog: tumbling-window aggregation over the event stream (batch
     * form of the Structured Streaming windowed agg; streaming variant
     * exercised in StreamingSpec).
@@ -227,6 +245,12 @@ object RelationalOps {
     "q_event_histogram" ->
       ("SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS total, " +
         "round(avg(value), 6) AS avg_value FROM events GROUP BY event_type"),
+    "q_host_link_hist" ->
+      ("SELECT l_suppkey, l_partkey, links FROM (" +
+        "SELECT l_suppkey, l_partkey, count(*) AS links, " +
+        "row_number() OVER (PARTITION BY l_suppkey " +
+        "ORDER BY count(*) DESC, l_partkey ASC) AS rn " +
+        "FROM lineitem GROUP BY l_suppkey, l_partkey) WHERE rn <= 5"),
     "q_stream_window" ->
       ("SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS cnt, " +
         "round(sum(value), 2) AS total FROM events GROUP BY 1, 2"),
@@ -255,6 +279,7 @@ object RelationalOps {
     "q_min_distance" -> minDistance _,
     "q_seen_anti_join" -> seenAntiJoin _,
     "q_event_histogram" -> eventHistogram _,
+    "q_host_link_hist" -> hostLinkHist _,
     "q_stream_window" -> streamWindow _,
     "q_sessionize" -> sessionize _,
     "q_rollup" -> rollupStats _)

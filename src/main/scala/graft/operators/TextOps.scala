@@ -222,7 +222,8 @@ object TextOps {
     docs(s, dir).select(col("doc_id"), col("lang"),
       langIdCol(col("text")).as("pred_lang"))
 
-  // --- document fingerprint (rolling hash; no SQL oracle — spec-tested) ---
+  // --- document fingerprint (rolling hash; oracle-gated: DuckDB emulates
+  // the 64-bit wrap in HUGEINT — see the q_fingerprint oracle) ---
 
   /** Rabin-Karp rolling-hash document fingerprint: 64-bit polynomial hash
     * over the character stream (h = h*B + c). Order-sensitive content
@@ -302,7 +303,21 @@ object TextOps {
         "len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x IN ('der','die','das','und','ist','nicht','mit','ein'))) AS de, " +
         "len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x IN ('le','la','les','et','est','pas','une','dans'))) AS fr, " +
         "len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x IN ('el','la','los','las','es','una','para','como'))) AS es " +
-        "FROM documents)"))
+        "FROM documents)"),
+    // 64-bit wrap-around emulated in HUGEINT (int128): h*B+c stays under
+    // 2^104, reduced mod 2^64 each step, then mapped to signed int64.
+    // unicode(char) == the UTF-16 unit Scala folds for all BMP text
+    // (astral chars would differ; none exist in the corpus). The empty
+    // string must filter out string_split's [''] artifact.
+    "q_fingerprint" ->
+      ("SELECT doc_id, CAST(CASE WHEN r >= 9223372036854775808::HUGEINT " +
+        "THEN r - 18446744073709551616::HUGEINT ELSE r END AS BIGINT) AS fp " +
+        "FROM (SELECT doc_id, list_reduce(" +
+        "list_prepend(14695981039346656037::HUGEINT, " +
+        "list_transform(list_filter(string_split(text, ''), c -> c <> ''), " +
+        "c -> unicode(c)::HUGEINT)), " +
+        "(acc, c) -> (acc * 1099511628211::HUGEINT + c) % " +
+        "18446744073709551616::HUGEINT) AS r FROM documents)"))
 
   /** Cross-document boilerplate detection (the training-data "remove
     * repeated template text" pass, cf. C4/RefinedWeb dedup pipelines):

@@ -228,6 +228,22 @@ class UrlsSpec extends AnyFunSuite {
     assert(rules("xaaayb") === "xyc")
   }
 
+  test("normalize rules: nested XML escapes decode exactly once " +
+    "('&amp;lt;' is a literal '&lt;', not '<')") {
+    // '&amp;lt;' in rule XML decodes ONCE to the 4-char text '&lt;' (what
+    // a real XML parser yields); the old sequential replace() chain
+    // double-decoded it to '<', silently altering the rule
+    val rules = NormalizeRules.parseXml(
+      "<regex-normalize>" +
+        "<regex><pattern>&amp;lt;</pattern>" +
+        "<substitution>X</substitution></regex>" +
+        "</regex-normalize>")
+    // the rule pattern must be the 4-char string "&lt;" — it rewrites
+    // occurrences of that literal text, NOT of '<'
+    assert(rules("http://e.example/a&lt;b") === "http://e.example/aXb")
+    assert(rules("http://e.example/a<b") === "http://e.example/a<b")
+  }
+
   test("normalize rules: text form, canonicalize integration, " +
     "defaults unchanged") {
     // pattern~substitution text form (F6 rewrite syntax)

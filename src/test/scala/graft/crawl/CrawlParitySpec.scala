@@ -347,6 +347,98 @@ class CrawlParitySpec extends AnyFunSuite {
     assert(noExchange === exchange)
   }
 
+  test("updatedb seen-check plans with NO shuffle above the frontier scan " +
+    "(broadcast-oriented semi + anti)") {
+    val pipeline = new CrawlPipeline(spark, root, webCfg, numBuckets = 8)
+    // read the base snapshot from FILES directly: runBatches leaves the
+    // merged view persisted, and frontierState()'s identical plan would
+    // cache-hit into InMemoryTableScan leaves — this test pins the
+    // cold-plan shape a 10^10-row frontier (never cacheable) would get
+    val frontier = pipeline.readFrontier(
+      pipeline.lastState().get.frontierPath)
+    val cands = spark.createDataset(Seq(
+      Discovered(11L, "http://h.example/a", "h.example", "h.example", 0,
+        0.5f, 1, 1, ""),
+      Discovered(22L, "http://h.example/b", "h.example", "h.example", 1,
+        0.25f, 1, 2, "")))
+    val ds = pipeline.notInFrontier(frontier, cands)
+    val plan = ds.queryExecution.sparkPlan
+    val frontierScans = plan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths
+            .exists(_.toString.contains("snapshot-")) => f
+    }
+    assert(frontierScans.nonEmpty, s"no frontier scan in plan:\n$plan")
+    val shuffles = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    shuffles.foreach { e =>
+      val below = e.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.relation.location.rootPaths
+              .exists(_.toString.contains("snapshot-")) => f
+      }
+      assert(below.isEmpty,
+        s"frontier scan below a ShuffleExchange — the exact seen-check " +
+          s"would shuffle frontier keys at scale:\n$plan")
+    }
+    // both steps are broadcast joins (semi then anti)
+    val s = plan.toString
+    assert(s.contains("BroadcastHashJoin") && s.contains("LeftSemi"), s)
+    assert(s.contains("LeftAnti"), s)
+  }
+
+  test("commit-log lineage counts (collected on the write pass) match files") {
+    val pipeline = new CrawlPipeline(spark, root, webCfg, numBuckets = 8)
+    val fullSnapshots = pipeline.log.commits().filter(c =>
+      (c.stage == "inject" || c.stage == "compact" ||
+        c.stage == "updatedb") && c.deltas.isEmpty)
+    assert(fullSnapshots.nonEmpty)
+    fullSnapshots.foreach { c =>
+      val actual = spark.read.parquet(c.frontierPath)
+        .groupBy(col("bucket")).count().as[(Int, Long)].collect()
+        .map { case (b, n) => b.toString -> n }.toMap
+      assert(c.partitionCounts === actual,
+        s"${c.stage} seq=${c.seq}: observed counts drifted from files")
+    }
+  }
+
+  test("per-site interval re-applied on re-crawl " +
+    "(DbConfigFetchSchedule/checkInterval parity; refresh actually bites)") {
+    // seeds inject at the DEFAULT interval (30 d); the trie declares a
+    // customIntervalSec more than twice that, so the stored interval sits
+    // below half the config value and the first merge must RESET it to
+    // the config interval — the reference's checkInterval rule. Both
+    // engines implement it; parity + an explicit refreshed-value check.
+    val ci = 6000000 // ~69 d > 2 * 2592000 (30 d default)
+    val cfgs = graft.core.ConfigTrie.build(Seq(
+      "http://www.test-0.example/" -> graft.core.SiteConfig(cfgId = 4,
+        customIntervalSec = ci)))
+    val cfg = webCfg.copy(numHosts = 3, pagesPerHost = 10)
+    val dir = Files.createTempDirectory("crawl-cfgint").toString
+    val p = new CrawlPipeline(spark, dir, cfg, numBuckets = 4,
+      configs = cfgs)
+    p.runBatches(2, 40, 8)
+    val s = new Simulator(cfg, configs = cfgs)
+    s.runBatches(2, 40, 8)
+    val rows = p.frontierState().collect()
+      .map(r => r.url -> (r.status, r.fetchTime, r.fetchInterval)).toMap
+    assert(rows.keySet === s.seenSet)
+    s.frontier.foreach { case (url, r) =>
+      assert(rows(url) === ((r.status, r.fetchTime, r.interval)),
+        s"mismatch for $url")
+    }
+    // the refresh visibly bit: a FETCHED host-0 row now carries the
+    // config interval, not the inject-time default
+    val refreshed = p.frontierState().collect().filter(r =>
+      r.url.contains("test-0") &&
+        r.status != graft.core.CrawlStatus.Unfetched)
+    assert(refreshed.nonEmpty)
+    assert(refreshed.exists(_.fetchInterval == ci),
+      s"no host-0 row picked up the config interval: " +
+        refreshed.map(r => (r.url, r.fetchInterval)).take(5).toSeq)
+  }
+
   test("bloom seen-filter changes nothing but the plan") {
     val cfg = webCfg.copy(numHosts = 5, pagesPerHost = 12)
     def run(bloom: Boolean): Set[(String, Int, Long, Float)] = {

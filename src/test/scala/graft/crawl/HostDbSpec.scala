@@ -47,6 +47,31 @@ class HostDbSpec extends AnyFunSuite {
     assert(hd("www.test-2.example").crawlDelayMs === webCfg.crawlDelayMs)
     // the commit log gained hostdb stages (fetch reads the latest)
     assert(p.log.commits().count(_.stage == "hostdb") === 2)
+
+    // A3 link-host histograms (reference HostDbUpdateReducer.java:46-72):
+    // recompute the expected (srcHost, dstHost) counts from the batch's
+    // parse output and pin both directions per host
+    val parsed = spark.read.parquet(s"$dir/batches/b2/parsed")
+      .as[ParsedPage].collect()
+    val pairs = parsed.toSeq.flatMap(pp =>
+      // keys is a Set — map through a Seq or identical (src,dst) pairs
+      // from one page's multiple same-host links would collapse
+      pp.outlinks.keys.toSeq.map(dst => (pp.host, graft.core.Urls.host(dst))))
+    val outExp = pairs.groupBy(_._1).map { case (src, ps) =>
+      src -> ps.groupBy(_._2).map { case (d, xs) => d -> xs.size.toLong }
+    }
+    val inExp = pairs.groupBy(_._2).map { case (dst, ps) =>
+      dst -> ps.groupBy(_._1).map { case (sr, xs) => sr -> xs.size.toLong }
+    }
+    hd.foreach { case (host, h) =>
+      assert(h.outLinkHosts === outExp.getOrElse(host, Map.empty),
+        s"outLinkHosts for $host")
+      assert(h.inLinkHosts === inExp.getOrElse(host, Map.empty),
+        s"inLinkHosts for $host")
+    }
+    // the histograms are non-trivially populated (fanout links exist)
+    assert(hd.values.exists(_.outLinkHosts.nonEmpty))
+    assert(hd.values.exists(_.inLinkHosts.nonEmpty))
   }
 
   test("byDomain queue mode: subdomains share one politeness timeline") {

@@ -27,6 +27,40 @@ class ParseSpec extends AnyFunSuite {
       "q=1&l=2 <&> \"x\"")
   }
 
+  test("charset sniffing: BOM authoritative; a lying Latin-1 header on " +
+    "valid multi-byte UTF-8 is overridden (EncodingDetector semantics)") {
+    // BOM wins over any declaration
+    val bom = Array(0xEF, 0xBB, 0xBF).map(_.toByte) ++
+      "<html>x</html>".getBytes(StandardCharsets.UTF_8)
+    assert(Parse.detectCharset("text/html; charset=iso-8859-1", bom) ===
+      StandardCharsets.UTF_8)
+    // UTF-8 page whose server lies charset=iso-8859-1: the bytes contain
+    // a valid multi-byte sequence, so the sniffer overrides the header
+    val utf8Body = "<html><body>café résumé — naïve</body></html>"
+      .getBytes(StandardCharsets.UTF_8)
+    assert(Parse.detectCharset("text/html; charset=iso-8859-1", utf8Body)
+      === StandardCharsets.UTF_8)
+    val text = new String(utf8Body,
+      Parse.detectCharset("text/html; charset=iso-8859-1", utf8Body))
+    assert(text.contains("café") && text.contains("naïve"))
+    // a REAL Latin-1 page keeps its declared charset (0xE9 'é' is not a
+    // valid UTF-8 sequence start+continuation)
+    val latin = "<html>café</html>".getBytes(StandardCharsets.ISO_8859_1)
+    assert(Parse.detectCharset("text/html; charset=iso-8859-1", latin) ===
+      StandardCharsets.ISO_8859_1)
+    // nothing declared: valid UTF-8 bytes sniff to UTF-8, invalid to
+    // Latin-1 (never mojibake via a wrong UTF-8 default)
+    assert(Parse.detectCharset("text/html", utf8Body) ===
+      StandardCharsets.UTF_8)
+    assert(Parse.detectCharset("text/html", latin) ===
+      StandardCharsets.ISO_8859_1)
+    // a declared NON-Latin charset is trusted even if bytes validate as
+    // UTF-8 (EUC/Shift_JIS pages often do not, but the rule is scoped)
+    assert(Parse.detectCharset("text/html; charset=gb2312",
+      "<html>abc</html>".getBytes) === java.nio.charset.Charset
+      .forName("gb2312"))
+  }
+
   test("charset detection: header param beats meta; meta beats default") {
     val iso = "<html><head><meta charset=\"ISO-8859-1\"></head></html>"
       .getBytes(StandardCharsets.ISO_8859_1)

@@ -45,6 +45,54 @@ class ScoringSpec extends AnyFunSuite {
     assert(opicScores.forall { case (u, s) => s >= defaultScores(u) - 1e-6f })
   }
 
+  test("fetch in-queue order follows generatorSortValue " +
+    "(scalar twin of the generate rank)") {
+    // a REVERSING sort value: generate ranks score-ASC and the fetch
+    // queue must serve the same order — under Default (identity) this is
+    // the raw score-desc order pinned by the parity suite
+    val reversed = new ScoringFilter {
+      def injectedScore(url: String, metaScore: Option[Float]): Float =
+        metaScore.getOrElse(1.0f)
+      def outlinkContribution(srcUrl: String, srcScore: Float,
+          outlinkCount: Int): Float = srcScore / math.max(1, outlinkCount)
+      def newRowScore(url: String, contrib: Float,
+          customScore: Float): Float = contrib
+      override def generatorSortValue(score: org.apache.spark.sql.Column)
+          : org.apache.spark.sql.Column = -score
+      override def generatorSortValueScalar(score: Float): Float = -score
+    }
+    // single lane + a wall gap so fetchStart strictly increases in queue
+    // order; batch 2 has score variety (seed 1.0 vs discovered contribs)
+    val qcfg = cfg.copy(crawlDelayMs = 10L, maxConcurrent = 1)
+    val dir = Files.createTempDirectory("scoring-order").toString
+    val p = new CrawlPipeline(spark, dir, qcfg, numBuckets = 4,
+      scoring = reversed)
+    p.runBatches(depth = 2, topN = 30, maxPerHost = 10)
+    val fetched = spark.read.parquet(s"$dir/batches/b2/fetched")
+      .select("host", "url", "fetchStart", "srcScore")
+      .as[(String, String, Long, Float)].collect()
+    assert(fetched.nonEmpty)
+    // queue order = sort value DESC = raw score ASC under the reversing
+    // filter. Robots-denied rows share their successor's start slot, so
+    // assert monotonicity ACROSS politeness slots (scores within a slot
+    // are a contiguous run of the queue): every later slot's min score
+    // >= every earlier slot's max score.
+    var varied = false
+    fetched.groupBy(_._1).foreach { case (host, rows) =>
+      val slots = rows.groupBy(_._3).toSeq.sortBy(_._1)
+        .map(_._2.map(_._4).toSeq)
+      slots.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(b.min >= a.max,
+            s"queue for $host served score ${b.min} after ${a.max} — " +
+              "order does not follow the sort value")
+        case _ =>
+      }
+      if (rows.map(_._4).distinct.length > 1) varied = true
+    }
+    assert(varied, "no host queue had score variety — assertion vacuous")
+  }
+
   test("custom injectedScore and outlinkContribution flow through") {
     val dir = Files.createTempDirectory("scoring-inj").toString
     val boost = new ScoringFilter {

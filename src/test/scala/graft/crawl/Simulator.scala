@@ -150,6 +150,10 @@ final class Simulator(
 
     // updatedb merge (schedule state machine + signature change detection)
     outcomes.foreach { case (r, outcome, sig) =>
+      // per-site interval refresh on re-crawl (reference
+      // NutchConstant.checkInterval:975-989 via DbConfigFetchSchedule)
+      val cfgI = configs.configOrDefault(r.url).customIntervalSec
+      if (cfgI > 0 && r.interval < cfgI * 0.5) r.interval = cfgI
       val changed = r.signature.isEmpty || sig.isEmpty || r.signature != sig
       val eff =
         if (outcome == FetchOutcome.Success && !changed)

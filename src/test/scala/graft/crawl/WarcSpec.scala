@@ -221,6 +221,33 @@ class WarcSpec extends AnyFunSuite {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("splittable read keeps plain .warc files in a mixed directory " +
+    "(no silent drop)") {
+    import spark.implicits._
+    def body(s: String) =
+      s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    def rec(url: String, b: Array[Byte]) =
+      Warc.renderRecord(url, "text/html",
+        Map("content-length" -> b.length.toString), b,
+        "2024-01-01T00:00:00Z")
+    val dir = Files.createTempDirectory("warc-mixed").toString
+    val gz = (1 to 5)
+      .map(i => Parse.gzip(rec(s"http://mx.example/gz$i", body(s"<p>g$i</p>"))))
+      .reduce(_ ++ _)
+    val fos = new java.io.FileOutputStream(s"$dir/a.warc.gz")
+    fos.write(gz); fos.close()
+    val plain = (1 to 3)
+      .map(i => rec(s"http://mx.example/pl$i", body(s"<p>p$i</p>")))
+      .reduce(_ ++ _)
+    val fos2 = new java.io.FileOutputStream(s"$dir/b.warc")
+    fos2.write(plain); fos2.close()
+    val got = Warc.readSplittable(spark, dir, "mx").collect()
+      .map(_.url).toSet
+    val want = ((1 to 5).map(i => s"http://mx.example/gz$i") ++
+      (1 to 3).map(i => s"http://mx.example/pl$i")).toSet
+    assert(got === want, s"missing=${want.diff(got)}")
+  }
+
   test("streaming ingestion: archives landing in a directory stream " +
     "through the shared parse, exactly once per file, with URL dedup") {
     import spark.implicits._
