@@ -339,6 +339,14 @@ class CrawlParitySpec extends AnyFunSuite {
         compactEvery = 2, majorEvery = 0, noExchangeMinBytes = minBytes)
       p.runBatches(4, 40, 8)
       p.compact(now = 1700000000000L + 99 * 3600000L)
+      // the two-observation (base write + delta append) lineage counts of
+      // the no-exchange writer must also match the files exactly
+      val c = p.lastState().get
+      val actual = spark.read.parquet(c.frontierPath)
+        .groupBy(col("bucket")).count().as[(Int, Long)].collect()
+        .map { case (b, n) => b.toString -> n }.toMap
+      assert(c.partitionCounts === actual,
+        s"minBytes=$minBytes: write-pass counts drifted from files")
       p.frontierState().collect()
         .map(r => (r.url, r.status, r.fetchTime, r.score, r.distance)).toSet
     }
