@@ -35,10 +35,17 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Canary loop size — nominal ~1.5 s on this box uncontended. */
-  private val CanaryIters = 600
-  /** A canary beyond this factor of the run's fastest marks interference. */
-  private val CanaryFactor = 1.25
+  /** Canary sub-loop size; one canary = MIN of 3 sub-loops (~0.6 s each
+    * uncontended) — the min filters the canary's own GC/JIT wobble so the
+    * reading tracks HOST contention, the thing it exists to measure.
+    */
+  private val CanaryIters = 200
+  /** A canary beyond this factor of the run's fastest marks interference.
+    * Calibrated to catch the documented multi-x box depressions (round-4
+    * driver artifact: 4-core samples 3-4x under six same-code runs), not
+    * ordinary ~20% wobble.
+    */
+  private val CanaryFactor = 1.5
 
   private val jdk17Opens = Seq(
     "java.base/java.lang", "java.base/java.lang.invoke",
@@ -55,7 +62,7 @@ object Bench {
     * hot path, zero Spark — its wall time moves with HOST contention
     * only.
     */
-  private def canarySec(iters: Int): Double = {
+  private def canaryLoop(iters: Int): Double = {
     val t0 = System.nanoTime()
     var i = 0
     while (i < iters) {
@@ -66,6 +73,9 @@ object Bench {
     }
     (System.nanoTime() - t0) / 1e9
   }
+
+  private def canarySec(iters: Int): Double =
+    (1 to 3).map(_ => canaryLoop(iters)).min
 
   /** Fork a fresh JVM for one measurement; parse its RESULT line.
     * Returns the steady-state (largest-batch) fetched rows, fetch wall,
@@ -112,21 +122,33 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm the crawl path once, reported separately as _cold: the first
-    // crawl-path execution of a JVM is dominated by one-time
-    // encoder/codegen JIT (measured 32 s cold vs 15.5 s warm at
-    // local[32]) — the headline must sample what a live session sees
-    val crawlColdSec = SparkEntry.queries.get("q_crawl_loop").map { fn =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).count() catch { case _: Throwable => }
-      (System.nanoTime() - t0) / 1e9
-    }
+    // q_crawl_loop is warmed IMMEDIATELY before its timed run (not at
+    // session start): the first crawl-path execution pays one-time
+    // encoder/codegen JIT (measured 34.7 s cold vs 15.7 s warm at
+    // local[32]), and Spark's bounded Janino codegen-class cache means a
+    // warm-up separated from the timed run by a dozen other queries gets
+    // EVICTED and re-pays compilation (measured: 34.6 s "warm" when
+    // warmed at session start vs 16.1 s when warmed adjacently). The
+    // warm-up's own wall is reported as q_crawl_loop_cold_sec.
+    var crawlColdSec = -1.0
+    // the query block gets the same box-state diagnosability as the
+    // scaling pairs: a canary before and after (the round-4/run-B
+    // artifacts had query sections inflated 30-100% with no way to tell
+    // box from code IN the artifact)
+    canarySec(CanaryIters / 4) // canary JIT warm, untimed
+    val queryCanaryPre = canarySec(CanaryIters)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      if (name == "q_crawl_loop") {
+        val tc = System.nanoTime()
+        try fn(spark, sfDir).count() catch { case _: Throwable => }
+        crawlColdSec = (System.nanoTime() - tc) / 1e9
+      }
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
         catch { case _: Throwable => false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
+    val queryCanaryPost = canarySec(CanaryIters)
     spark.stop()
 
     // --- crawl scaling: fresh JVM per run, canary-bracketed alternated
@@ -138,7 +160,6 @@ object Bench {
     // reports the wider-parallelism absolute throughput. ---
     val nCpus = math.max(1, cpus / 32)
     val n4Cpus = 4 * nCpus
-    canarySec(CanaryIters / 4) // canary JIT warm, untimed
     try scalingRun(nCpus, warmup = true) // child JIT/classloading probe
     catch { case _: Exception => }
     val nPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "5").toInt
@@ -239,7 +260,8 @@ object Bench {
       }
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""q_crawl_loop_cold_sec":${crawlColdSec.getOrElse(-1.0)},""" +
+        s""""q_crawl_loop_cold_sec":$crawlColdSec,""" +
+        f""""query_canary_sec":[$queryCanaryPre%.2f,$queryCanaryPost%.2f],""" +
         s""""sf":"$sfDir","crawl":$crawlJson}"""
     // stdout for the driver AND a file copy: round 1's BENCH artifact had
     // "parsed": null because the line had to be fished out of an

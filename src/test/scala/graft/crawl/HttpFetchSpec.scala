@@ -247,6 +247,28 @@ class HttpFetchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m.size === 2)
   }
 
+  test("SlotMap: sweep over the soft bound never drops a pending slot " +
+    "(politeness survives >softMax active hosts)") {
+    val m = new HttpFetcher.SlotMap(4)
+    val now = 1000000L
+    // hot host claims a slot 500 ms in the FUTURE
+    val hotSlot = m.claim("hot.example", now, 500L)
+    assert(hotSlot === now)
+    val hotSlot2 = m.claim("hot.example", now, 500L)
+    assert(hotSlot2 === now + 500L) // pending: in the future
+    // flood with more hosts than the soft bound — triggers the sweep
+    (1 to 10).foreach(i => m.claim(s"h$i.example", now, 10L))
+    // the hot host's pending slot survived: the next claim serializes
+    // AFTER it, not at `now` (an LRU would have evicted it)
+    val hotSlot3 = m.claim("hot.example", now, 500L)
+    assert(hotSlot3 === hotSlot2 + 500L,
+      s"pending slot was evicted (claimed $hotSlot3)")
+    // entries whose slot + maxGap is in the past DO sweep once over bound
+    val later = now + 100000L
+    (1 to 10).foreach(i => m.claim(s"late$i.example", later, 10L))
+    assert(m.size <= 12, s"stale slots not swept: ${m.size}")
+  }
+
   test("politeness floor holds under CONCURRENT same-host callers " +
     "(slot claim is atomic)") {
     val f = new HttpFetcher(HttpConfig(minHostGapMs = 100,
