@@ -190,6 +190,110 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over an undirected edge list by alternating
+    * large-star / small-star rounds (Kiveris et al., "Connected Components
+    * in MapReduce and Beyond", SoCC '14). Converges in O(log n) rounds on
+    * any graph — unlike plain min-label propagation, whose round count is
+    * the graph DIAMETER (a 10^6-node chain of near-dup shards would need
+    * 10^6 shuffles; this needs ~20).
+    *
+    * Scale shape: each round is aggregates + equi-joins on node id — the
+    * per-node neighbor MIN is computed with `groupBy(u).agg(min(v))`,
+    * never a collected neighbor list, so a hub node (the component root
+    * attracts edges from every member) costs O(1) state in the aggregate
+    * instead of an O(|component|) array on one task. Each round's edge set
+    * is eagerly checkpointed, truncating both lineage AND the logical plan
+    * (on a cluster: `checkpoint` against the checkpoint dir) — otherwise
+    * the plan tree doubles per round and driver-side analysis dominates.
+    *
+    * Input: (src, dst) rows, any integral type. Output: (node, component)
+    * for every node incident to an edge, component = MIN node id of its
+    * component (callers coalesce isolated nodes to themselves).
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    def canon(e: DataFrame): DataFrame =
+      e.filter(col("u") =!= col("v")).dropDuplicates("u", "v")
+    // large-star: every node v strictly larger than u re-attaches to
+    // m(u) = min(Gamma(u) + {u}); processed from the SMALLER endpoint of
+    // each symmetrized edge so each input edge is emitted exactly once
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy("u")
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      canon(sym.filter(col("v") > col("u"))
+        .join(m, "u")
+        .select(col("v").as("u"), col("m").as("v")))
+    }
+    // small-star: orient each edge toward its larger endpoint, then every
+    // smaller neighbor (and the center) attaches to the minimum neighbor
+    def smallStar(e: DataFrame): DataFrame = {
+      val ori = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val m = ori.groupBy("u").agg(min(col("v")).as("m"))
+      canon(ori.join(m, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(m.select(col("u"), col("m").as("v"))))
+    }
+    // cheap w.h.p. fixed-point check: (count, xor-fold of per-edge
+    // hashes — order-independent and cannot overflow under ANSI mode) —
+    // one extra aggregate per round, no set-difference shuffle
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    // EAGER localCheckpoint each round: it swaps the logical plan for a
+    // LogicalRDD, keeping per-round plan size O(1). Without truncation the
+    // star operators DOUBLE the plan tree every round (union of both edge
+    // orientations + joins) and driver-side ANALYSIS, not execution,
+    // becomes the bottleneck within a handful of rounds. On a cluster,
+    // substitute reliable `checkpoint` (same truncation, HDFS-backed) so a
+    // lost executor cannot drop a round's only copy.
+    var cur = canon(edges.select(col(edges.columns(0)).cast("long").as("u"),
+      col(edges.columns(1)).cast("long").as("v")))
+      .localCheckpoint()
+    var lastSum = checksum(cur)
+    var it = 0
+    var converged = false
+    while (it < maxIter && !converged) {
+      val next = smallStar(largeStar(cur)).localCheckpoint()
+      val sum = checksum(next)
+      cur.unpersist()
+      cur = next
+      converged = sum == lastSum
+      lastSum = sum
+      it += 1
+    }
+    // star state: each node's component is its minimum symmetric neighbor
+    // (the root's smallest neighbor is larger than itself; least() keeps
+    // the root labeled with its own id)
+    val sym = cur.union(cur.select(col("v").as("u"), col("u").as("v")))
+    sym.groupBy("u").agg(min(col("v")).as("mn"))
+      .select(col("u").as("node"), least(col("mn"), col("u")).as("component"))
+  }
+
+  /** Cluster-level dedup: MinHash near-dup PAIRS -> connected components
+    * -> one kept representative (min doc_id) per cluster. This is the
+    * operator a training-data pipeline actually runs — pairwise output
+    * alone under-deletes transitive duplicates (a~b, b~c must drop both b
+    * AND c even when a~c was never a candidate pair).
+    */
+  def dedupClusters(s: SparkSession, dir: String, capDocs: Int = 2000)
+      : DataFrame = {
+    val pairs = minHashPairs(s, dir, numHashes = 32, bands = 32,
+      minBandMatches = 2, capDocs = capDocs)
+      .select(col("doc_a"), col("doc_b"))
+    val cc = connectedComponents(pairs)
+    val d0 = docs(s, dir).select(col("doc_id"))
+    val d = if (capDocs > 0) d0.orderBy(col("doc_id")).limit(capDocs) else d0
+    d.join(cc, d("doc_id") === cc("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+      .withColumn("keep",
+        (col("doc_id") === col("component")).cast("int"))
+  }
+
   /** The driver-facing q_minhash_pairs runs 32 bands of 1 row gated on
     * >= 2 band matches: a j=0.5 pair is missed with
     * p = (1-j)^32 + 32*j*(1-j)^31 ~ 7.7e-9 (the 2-band gate, not the
@@ -226,11 +330,34 @@ object Dedup {
         "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
         "CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming " +
         "FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
-        "WHERE bit_count(xor(a.sh, b.sh)) <= 3"))
+        "WHERE bit_count(xor(a.sh, b.sh)) <= 3"),
+    // cluster assignment = transitive closure of the SAME capped minhash
+    // pair set; DuckDB computes reachability with a recursive CTE (fine at
+    // oracle scale), Spark with O(log n) alternating star rounds —
+    // component = min reachable doc_id, keep = cluster representative
+    "q_dedup_clusters" ->
+      ("WITH RECURSIVE docs_cap AS (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 2000), " +
+        "toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM docs_cap), " +
+        "sh AS (SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] " +
+        "ELSE list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) END AS s FROM toks), " +
+        "pairs AS (SELECT doc_a, doc_b FROM (" +
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "round(len(list_intersect(a.s, b.s)) / " +
+        "len(list_distinct(list_concat(a.s, b.s)))::double, 4) AS jaccard " +
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id) WHERE jaccard >= 0.5), " +
+        "edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs " +
+        "UNION SELECT doc_b, doc_a FROM pairs), " +
+        "reach(node, r) AS (SELECT u, v FROM edges " +
+        "UNION SELECT e.u, r.r FROM edges e JOIN reach r ON r.node = e.v), " +
+        "comp AS (SELECT node, least(node, min(r)) AS component FROM reach GROUP BY node) " +
+        "SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component, " +
+        "CASE WHEN coalesce(c.component, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS keep " +
+        "FROM docs_cap d LEFT JOIN comp c ON c.node = d.doc_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_minhash_pairs" -> ((s, d) =>
       minHashPairs(s, d, numHashes = 32, bands = 32, minBandMatches = 2,
         capDocs = 2000)),
-    "q_simhash_pairs" -> ((s, d) => simHashPairs(s, d)))
+    "q_simhash_pairs" -> ((s, d) => simHashPairs(s, d)),
+    "q_dedup_clusters" -> ((s, d) => dedupClusters(s, d)))
 }

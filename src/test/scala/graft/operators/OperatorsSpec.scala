@@ -246,6 +246,74 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fps.distinct.length === fps.length) // no dup texts in corpus
   }
 
+  test("connected components match union-find on random / chain / clique " +
+    "graphs (alternating-star rounds, min-id labels)") {
+    import spark.implicits._
+    // in-test oracle: path-compressed union-find, components = min node id
+    def unionFind(nodes: Seq[Long], edges: Seq[(Long, Long)])
+        : Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // roots are already component minima because unions keep the
+      // smaller root
+      nodes.map(n => n -> find(n)).toMap
+    }
+    val rnd = new scala.util.Random(4242)
+    val sparse = (1 to 120).map(_ =>
+      (rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter { case (a, b) => a != b }
+    // a 64-node chain: diameter 63 — plain label propagation needs 63
+    // rounds, the star algorithm must close it well inside maxIter=30
+    val chain = (0L until 63L).map(i => (i + 1000L, i + 1001L))
+    val cliques = for {
+      c <- 0 until 5; a <- 0 until 6; b <- (a + 1) until 6
+    } yield ((c * 10 + a + 5000).toLong, (c * 10 + b + 5000).toLong)
+    for (edges <- Seq(sparse, chain, cliques, sparse ++ chain ++ cliques)) {
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expected = unionFind(nodes, edges)
+      val got = Dedup.connectedComponents(
+        edges.toDF("src", "dst"))
+        .as[(Long, Long)].collect().toMap
+      assert(got === expected,
+        s"CC mismatch: ${got.toSet.diff(expected.toSet).take(5)}")
+    }
+  }
+
+  test("dedupClusters: pairs land in one cluster, exactly one kept " +
+    "representative per cluster, every doc assigned once") {
+    import spark.implicits._
+    val pairs = Dedup.minHashPairs(spark, sfDir, numHashes = 32, bands = 32,
+      minBandMatches = 2, capDocs = 2000)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val clusters = Dedup.dedupClusters(spark, sfDir)
+      .as[(Long, Long, Int)].collect()
+    val comp = clusters.map(c => c._1 -> c._2).toMap
+    // transitivity: both endpoints of every near-dup pair share a component
+    pairs.foreach { case (a, b) =>
+      assert(comp(a) === comp(b), s"pair ($a,$b) split across clusters")
+    }
+    // component label is the cluster's min doc id; keep flags exactly it
+    clusters.groupBy(_._2).foreach { case (label, members) =>
+      assert(members.map(_._1).min === label)
+      assert(members.count(_._3 == 1) === 1)
+      assert(members.find(_._3 == 1).get._1 === label)
+    }
+    // total assignment: every capped doc appears exactly once
+    assert(clusters.length === math.min(2000,
+      spark.read.parquet(s"$sfDir/documents.parquet").count()).toInt)
+    assert(clusters.map(_._1).distinct.length === clusters.length)
+  }
+
   test("flagship entry returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
