@@ -17,14 +17,16 @@ import org.apache.spark.sql.SparkSession
   * stopping, no selection):
   *  - exactly `nPairs` (default 5) alternated N/4N pairs, ALL samples
   *    reported;
-  *  - an INTERFERENCE CANARY — a fixed single-threaded pure-compute
-  *    image encode/decode loop — runs before the first pair and after
-  *    every pair. The canary measures BOX state, not the engine: this
-  *    host has documented bimodal interference windows (BASELINE.md) that
-  *    have depressed whole artifacts (round-4 driver run: 4-core samples
-  *    3-4x under six same-code measurements, even slower than 1-core). A
-  *    pair is CLEAN iff both its surrounding canaries are within
-  *    `CanaryFactor` of the fastest canary of the run;
+  *  - an INTERFERENCE CANARY in TWO modes — a fixed pure-compute image
+  *    encode/decode loop run single-threaded AND 4-threads-concurrent —
+  *    before the first pair and after every pair. The canary measures BOX
+  *    state, not the engine: this host has documented interference
+  *    windows (BASELINE.md) that have depressed whole artifacts (round-4
+  *    driver run: 4-core samples 3-4x under six same-code measurements),
+  *    and round-5 run C proved a mode that throttles ONLY multicore
+  *    execution while single-thread compute runs at full speed — hence
+  *    the 4-thread mode. A pair is CLEAN iff both surrounding canaries
+  *    are within `CanaryFactor` of the run's fastest IN BOTH modes;
   *  - headline = per-level MEDIAN over clean pairs when >= 2 pairs are
   *    clean, else over all pairs (flagged in the estimator string). The
   *    all-pairs median and every sample + canary value are always in the
@@ -76,6 +78,24 @@ object Bench {
 
   private def canarySec(iters: Int): Double =
     (1 to 3).map(_ => canaryLoop(iters)).min
+
+  /** 4-thread variant: each thread runs the full loop concurrently; wall
+    * time of the slowest. Catches the interference mode the 1-thread
+    * canary is blind to — a measured window on this host ran
+    * single-thread compute at full speed while 4-thread crawls (and a
+    * 4-thread version of this very loop) were throttled 2-3x
+    * (BASELINE.md round-5 run C). A multicore bench number is only
+    * trustworthy when MULTICORE compute was possible at the time.
+    */
+  private def canaryParSec(iters: Int): Double =
+    (1 to 3).map { _ =>
+      val threads = (0 until 4).map(_ =>
+        new Thread(() => { canaryLoop(iters): Unit }))
+      val t0 = System.nanoTime()
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }.min
 
   /** Fork a fresh JVM for one measurement; parse its RESULT line.
     * Returns the steady-state (largest-batch) fetched rows, fetch wall,
@@ -136,7 +156,9 @@ object Bench {
     // artifacts had query sections inflated 30-100% with no way to tell
     // box from code IN the artifact)
     canarySec(CanaryIters / 4) // canary JIT warm, untimed
+    canaryParSec(CanaryIters / 4)
     val queryCanaryPre = canarySec(CanaryIters)
+    val queryCanaryParPre = canaryParSec(CanaryIters)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (name == "q_crawl_loop") {
         val tc = System.nanoTime()
@@ -149,6 +171,7 @@ object Bench {
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val queryCanaryPost = canarySec(CanaryIters)
+    val queryCanaryParPost = canaryParSec(CanaryIters)
     spark.stop()
 
     // --- crawl scaling: fresh JVM per run, canary-bracketed alternated
@@ -170,16 +193,27 @@ object Bench {
           System.err.println(s"[bench] run at $c cores failed: $e"); None }
       }
     val canaries = scala.collection.mutable.ArrayBuffer[Double]()
-    canaries += canarySec(CanaryIters)
+    val canariesPar = scala.collection.mutable.ArrayBuffer[Double]()
+    def takeCanaries(): Unit = {
+      canaries += canarySec(CanaryIters)
+      canariesPar += canaryParSec(CanaryIters)
+    }
+    takeCanaries()
     val pairRuns = (1 to nPairs).map { _ =>
       val r = onePair()
-      canaries += canarySec(CanaryIters)
+      takeCanaries()
       r
     }
+    // a pair is clean only if BOTH canary modes were clean on both sides:
+    // the 1-thread loop catches whole-box contention, the 4-thread loop
+    // catches multicore throttling that leaves single-thread speed intact
     val cMin = canaries.min
+    val cpMin = canariesPar.min
     val cleanMask = (0 until nPairs).map(i =>
       canaries(i) <= CanaryFactor * cMin &&
-        canaries(i + 1) <= CanaryFactor * cMin)
+        canaries(i + 1) <= CanaryFactor * cMin &&
+        canariesPar(i) <= CanaryFactor * cpMin &&
+        canariesPar(i + 1) <= CanaryFactor * cpMin)
     val cleanCount = cleanMask.count(identity)
     val allRuns = pairRuns.flatten
     val usedRuns =
@@ -239,6 +273,7 @@ object Bench {
             s""""throughput_samples_N":${arr(thrOf(samplesIn(allRuns, nCpus)))},""" +
             s""""throughput_samples_4N":${arr(thrOf(samplesIn(allRuns, n4Cpus)))},""" +
             s""""canary_sec":${arr(canaries.toSeq)},""" +
+            s""""canary_par_sec":${arr(canariesPar.toSeq)},""" +
             s""""canary_factor":$CanaryFactor,""" +
             s""""clean_pairs":${cleanMask.zipWithIndex.filter(_._1).map(_._2).mkString("[", ",", "]")},""" +
             s""""updatedb_merge_sec_4N":${medOf(_._3, n4Cpus)},""" +
@@ -262,6 +297,7 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""q_crawl_loop_cold_sec":$crawlColdSec,""" +
         f""""query_canary_sec":[$queryCanaryPre%.2f,$queryCanaryPost%.2f],""" +
+        f""""query_canary_par_sec":[$queryCanaryParPre%.2f,$queryCanaryParPost%.2f],""" +
         s""""sf":"$sfDir","crawl":$crawlJson}"""
     // stdout for the driver AND a file copy: round 1's BENCH artifact had
     // "parsed": null because the line had to be fished out of an
