@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, ExtractOps, MultimodalOps, RelationalOps, SimilarityOps, TextOps}
+import graft.operators.{Dedup, ExtractOps, MultimodalOps, RelationalOps, SamplingOps, SimilarityOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -58,7 +58,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalOps.queries ++ TextOps.queries ++ SimilarityOps.queries ++
-      Dedup.queries ++ MultimodalOps.queries ++ ExtractOps.queries +
+      Dedup.queries ++ MultimodalOps.queries ++ ExtractOps.queries ++
+      SamplingOps.queries +
       ("q_crawl_loop" -> (crawlLoop _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -71,5 +72,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     RelationalOps.oracles ++ TextOps.oracles ++ SimilarityOps.oracles ++
-      ExtractOps.oracles ++ Dedup.oracles ++ MultimodalOps.oracles
+      ExtractOps.oracles ++ Dedup.oracles ++ MultimodalOps.oracles ++
+      SamplingOps.oracles
 }

@@ -314,6 +314,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(clusters.map(_._1).distinct.length === clusters.length)
   }
 
+  test("stratified sample: deterministic, per-stratum K bound, rank " +
+    "pushed below the exchange (WindowGroupLimit)") {
+    import spark.implicits._
+    val k = 40
+    val a = SamplingOps.stratifiedSample(spark, sfDir, k)
+    val rows = a.as[(Long, String, Int)].collect()
+    val again = SamplingOps.stratifiedSample(spark, sfDir, k)
+      .as[(Long, String, Int)].collect()
+    assert(rows.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq) // reproducible
+    val strataSizes = spark.read.parquet(s"$sfDir/documents.parquet")
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val sampled = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    strataSizes.foreach { case (lang, n) =>
+      assert(sampled.getOrElse(lang, 0) === math.min(k.toLong, n).toInt,
+        s"stratum $lang: ${sampled.getOrElse(lang, 0)} of $n")
+    }
+    rows.groupBy(_._2).foreach { case (_, ms) =>
+      assert(ms.map(_._3).sorted.toSeq === (1 to ms.length)) // dense ranks
+    }
+    // the skew story: the rank filter must run BELOW the shuffle too
+    val plan = a.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter not pushed down:\n$plan")
+  }
+
+  test("hashSample: deterministic rate-based keep, no shuffle in the plan") {
+    val df = spark.read.parquet(s"$sfDir/documents.parquet")
+    val s1 = SamplingOps.hashSample(df, "doc_id", 500000000L) // ~50%
+    val n = s1.count()
+    val total = df.count()
+    assert(n === SamplingOps.hashSample(df, "doc_id", 500000000L).count())
+    assert(n > total / 4 && n < 3 * total / 4, s"kept $n of $total")
+    assert(!s1.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("flagship entry returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
