@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, ExtractOps, MultimodalOps, RelationalOps, SamplingOps, SimilarityOps, TextOps}
+import graft.operators.{Dedup, ExtractOps, MultimodalOps, PackingOps, RelationalOps, SamplingOps, SimilarityOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -59,7 +59,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalOps.queries ++ TextOps.queries ++ SimilarityOps.queries ++
       Dedup.queries ++ MultimodalOps.queries ++ ExtractOps.queries ++
-      SamplingOps.queries +
+      SamplingOps.queries ++ PackingOps.queries +
       ("q_crawl_loop" -> (crawlLoop _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -73,5 +73,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalOps.oracles ++ TextOps.oracles ++ SimilarityOps.oracles ++
       ExtractOps.oracles ++ Dedup.oracles ++ MultimodalOps.oracles ++
-      SamplingOps.oracles
+      SamplingOps.oracles ++ PackingOps.oracles
 }

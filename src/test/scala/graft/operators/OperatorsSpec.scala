@@ -349,6 +349,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!s1.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("packSequences: matches the sequential prefix-sum oracle and is " +
+    "invariant to partition count") {
+    import spark.implicits._
+    val budget = 4096L
+    val counts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        size(filter(split(col("text"), " "), x => x =!= lit("")))
+          .cast("long").as("n"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    // in-test oracle: one sequential pass
+    var run = 0L
+    val expected = counts.map { case (id, n) =>
+      val shard = run / budget
+      run += n
+      (id, n, shard)
+    }.toSeq
+    for (parts <- Seq(3, 8)) {
+      val got = PackingOps.packSequences(spark, sfDir, budget, parts)
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got === expected, s"parts=$parts diverged")
+    }
+    // shard ids are dense and non-decreasing in doc order
+    val shards = expected.map(_._3)
+    assert(shards.distinct.sorted === (0L to shards.max))
+  }
+
   test("flagship entry returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
