@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Token-budget sequence packing: assign documents, in a deterministic
@@ -11,15 +12,24 @@ import org.apache.spark.sql.functions._
   * only by its straddling doc (which training pipelines truncate — the
   * assignment, not the split, is the engine's job).
   *
-  * Scale shape: a global running total LOOKS sequential, but is the
-  * textbook two-pass distributed prefix sum — (1) range-partition by the
-  * sort key and locally sum each partition (one narrow pass), (2) collect
-  * the P per-partition sums (P longs — bounded driver data, NOT rows),
-  * prefix them into per-partition start offsets, broadcast, (3) second
-  * narrow pass streams each partition with its offset. No global sort on
-  * one task, no window-over-everything (Spark executes an unpartitioned
-  * `sum() over (order by ...)` in a SINGLE partition — the one-liner that
-  * does not survive scale-up and the reason this is mapPartitions).
+  * Scale shape: a global running total LOOKS sequential, but decomposes
+  * over LOGICAL key blocks — `block = doc_id div blockSize`:
+  *   1. per-block token sums via `groupBy(block)` (map-side partial agg,
+  *      one shuffle of |docs|/blockSize rows);
+  *   2. exclusive prefix over the tiny block-sum table with one window
+  *      (single-task over ~|docs|/blockSize rows — bounded, NOT |docs|);
+  *   3. block start offsets broadcast-joined back;
+  *   4. within-block running sum via a window PARTITIONED by block (each
+  *      partition holds <= blockSize rows).
+  * No unpartitioned window over the rows (Spark executes `sum() over
+  * (order by ...)` without PARTITION BY in a SINGLE task — the one-liner
+  * that does not survive scale-up), and — unlike the earlier two-pass
+  * RDD prefix sum — no dependence on PHYSICAL partition identity: every
+  * boundary here is a function of doc_id alone, so the result is
+  * deterministic under any partitioning, caching, recompute, or AQE
+  * re-plan. (The RDD form required two `mapPartitionsWithIndex` passes to
+  * observe the SAME partitioning of one persisted RDD; a replanned second
+  * pass renumbered partitions and mis-assigned offsets.)
   */
 object PackingOps {
 
@@ -28,54 +38,40 @@ object PackingOps {
 
   /** (doc_id, n_toks, shard) for every document: whitespace token count
     * (the q_token_count semantics) and the doc's fixed-budget shard in
-    * doc_id order. `parts` bounds partition count for the range pass.
+    * doc_id order. `blockSize` sets the logical block width: the block-sum
+    * table is ~max(doc_id)/blockSize rows (keep it small enough for one
+    * window task and a broadcast) while each within-block window group
+    * holds at most blockSize rows. The result is blockSize-invariant.
     */
   def packSequences(s: SparkSession, dir: String, budget: Long = 4096L,
-      parts: Int = 0): DataFrame = {
-    import s.implicits._
-    val nParts = if (parts > 0) parts
-      else s.sparkContext.defaultParallelism
-    // both passes run over the SAME RDD object: partition index i then
-    // provably holds the same doc range in both (re-deriving `.rdd` or
-    // using Dataset.mapPartitions for pass 2 gave no such guarantee —
-    // the replanned stage renumbered partitions and offsets landed on
-    // the wrong ranges)
-    val rdd = docs(s, dir)
-      .select(col("doc_id"),
+      blockSize: Long = 1L << 16): DataFrame = {
+    require(budget > 0 && blockSize > 0)
+    val blocked = docs(s, dir)
+      .select(col("doc_id").cast("long").as("doc_id"),
         size(filter(split(col("text"), " "), x => x =!= lit("")))
           .cast("long").as("n_toks"))
-      .repartitionByRange(nParts, col("doc_id"))
-      .sortWithinPartitions("doc_id")
-      .as[(Long, Long)]
-      .rdd
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // pass 1: per-partition token sums; P longs to the driver, prefixed
-    // into exclusive start offsets
-    val partSums = rdd
-      .mapPartitionsWithIndex { (pid, it) =>
-        var sum = 0L
-        it.foreach(sum += _._2)
-        Iterator((pid, sum))
-      }
-      .collect().sortBy(_._1).map(_._2)
-    val offsets = partSums.scanLeft(0L)(_ + _)
-    val offsetsBc = s.sparkContext.broadcast(offsets)
-    // pass 2: stream each partition with its global start offset
-    val packed = rdd
-      .mapPartitionsWithIndex { (pid, it) =>
-        var running = offsetsBc.value(pid)
-        it.map { case (id, n) =>
-          val shard = running / budget
-          running += n
-          (id, n, shard)
-        }
-      }
-    s.createDataset(packed).toDF("doc_id", "n_toks", "shard")
+      .withColumn("block", expr(s"doc_id div ${blockSize}L"))
+    val blockSums = blocked.groupBy("block")
+      .agg(sum("n_toks").as("block_sum"))
+    // exclusive prefix over the block-sum table; the unpartitioned window
+    // is deliberate — it runs over |docs|/blockSize rows, not |docs|
+    val wOff = Window.orderBy("block")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = blockSums
+      .select(col("block"),
+        coalesce(sum("block_sum").over(wOff), lit(0L)).as("block_off"))
+    val wIn = Window.partitionBy("block").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    blocked.join(broadcast(offsets), Seq("block"))
+      .withColumn("start",
+        col("block_off") + coalesce(sum("n_toks").over(wIn), lit(0L)))
+      .select(col("doc_id"), col("n_toks"),
+        expr(s"start div ${budget}L").as("shard"))
   }
 
   val oracles: Map[String, String] = Map(
     // DuckDB can afford the window-over-everything form at oracle scale;
-    // the exclusive prefix sum reproduces the two-pass result exactly
+    // the exclusive prefix sum reproduces the blocked result exactly
     "q_pack_sequences" ->
       ("SELECT doc_id, n_toks, (cum - n_toks) // 4096 AS shard FROM (" +
         "SELECT doc_id, n_toks, sum(n_toks) OVER (ORDER BY doc_id " +

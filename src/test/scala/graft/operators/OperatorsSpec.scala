@@ -350,7 +350,7 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("packSequences: matches the sequential prefix-sum oracle and is " +
-    "invariant to partition count") {
+    "invariant to block size and session config") {
     import spark.implicits._
     val budget = 4096L
     val counts = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -365,10 +365,29 @@ class OperatorsSpec extends AnyFunSuite {
       run += n
       (id, n, shard)
     }.toSeq
-    for (parts <- Seq(3, 8)) {
-      val got = PackingOps.packSequences(spark, sfDir, budget, parts)
+    // blockSize sweeps the decomposition from near-sequential (one giant
+    // block) to one-doc-per-block; every decomposition must agree
+    for (blockSize <- Seq(1L, 7L, 64L, 1L << 16)) {
+      val got = PackingOps.packSequences(spark, sfDir, budget, blockSize)
         .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
-      assert(got === expected, s"parts=$parts diverged")
+      assert(got === expected, s"blockSize=$blockSize diverged")
+    }
+    // session-config invariance (the failure class that bit the RDD-based
+    // form: results must not depend on AQE/partition-count physicalities)
+    val conf = spark.conf
+    val aqe0 = conf.get("spark.sql.adaptive.enabled", "true")
+    val sp0 = conf.get("spark.sql.shuffle.partitions")
+    try {
+      for ((aqe, sp) <- Seq(("false", "1"), ("true", "17"))) {
+        conf.set("spark.sql.adaptive.enabled", aqe)
+        conf.set("spark.sql.shuffle.partitions", sp)
+        val got = PackingOps.packSequences(spark, sfDir, budget)
+          .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+        assert(got === expected, s"aqe=$aqe shufflePartitions=$sp diverged")
+      }
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", aqe0)
+      conf.set("spark.sql.shuffle.partitions", sp0)
     }
     // shard ids are dense and non-decreasing in doc order
     val shards = expected.map(_._3)
