@@ -758,9 +758,16 @@ final class CrawlPipeline(
         if (r.outcome == FetchOutcome.Success)
           graft.core.Signature.md5(r.content, r.url)
         else null
+      // T7 parse-level redirects (meta refresh, ParseUtil.java:244-279):
+      // the target rides the SAME redirectTo channel fetch-level redirects
+      // use — a Success outcome never has one otherwise — so discovery and
+      // reprUrl handling fall out of the existing paths
+      val redir =
+        if (po.refreshUrl != null) po.refreshUrl else r.redirectTo
       ParsedPage(r.urlHash, r.url, r.host, r.outcome, r.contentType,
-        r.redirectTo, po.outlinks, po.text, sig, po.status, r.anchor,
-        r.srcScore, r.srcDistance, r.fetchStart, r.fetchEnd, r.batchId)
+        redir, po.outlinks, po.text, sig, po.status, r.anchor,
+        r.srcScore, r.srcDistance, r.fetchStart, r.fetchEnd, r.batchId,
+        po.refreshTime)
     }
     val path = s"$root/batches/$batchId/parsed"
     val t0 = System.nanoTime()
@@ -896,8 +903,14 @@ final class CrawlPipeline(
         .as("prevSignature"),
       dist.as("distance"),
       when(has, col("obatch")).otherwise(col("lastBatch")).as("lastBatch"),
-      when(has && col("outcome") === FetchOutcome.RedirPerm &&
-        col("oredir") =!= "", col("oredir"))
+      // reprUrl: permanent fetch-level redirects, plus PERMANENT meta
+      // refreshes (Success outcome, refreshTime < PERM_REFRESH_TIME —
+      // ParseUtil.java:271's chooseRepr permanence rule)
+      when(has && col("oredir") =!= "" &&
+        (col("outcome") === FetchOutcome.RedirPerm ||
+          (col("outcome") === FetchOutcome.Success &&
+            col("refreshTime").between(0, Parse.PermRefreshTime - 1))),
+        col("oredir"))
         .otherwise(col("reprUrl")).as("reprUrl"),
       col("anchor"), col("cfgId"), col("crawlType"))
       .as[CrawlRow]
@@ -954,8 +967,12 @@ final class CrawlPipeline(
             signature =
               if (out.signature.isEmpty) row.signature else out.signature,
             reprUrl =
-              if (out.outcome == FetchOutcome.RedirPerm &&
-                out.redirectTo.nonEmpty) out.redirectTo
+              if (out.redirectTo.nonEmpty &&
+                (out.outcome == FetchOutcome.RedirPerm ||
+                  (out.outcome == FetchOutcome.Success &&
+                    out.refreshTime >= 0 &&
+                    out.refreshTime < Parse.PermRefreshTime)))
+                out.redirectTo
               else row.reprUrl,
             lastBatch = out.batchId)
         }
@@ -1033,7 +1050,7 @@ final class CrawlPipeline(
     // partition/sort/group pass per updatedb, UrlWithScore.java:124-195).
     val outcomes = parsed.map(r => Outcome(r.urlHash, r.outcome,
       Option(r.signature).getOrElse(Array.emptyByteArray), r.batchId,
-      Option(r.redirectTo).getOrElse("")))
+      Option(r.redirectTo).getOrElse(""), r.refreshTime))
 
     // A4 for existing rows (DbUpdateReducer.java:235-250): a rediscovery
     // through a shorter path lowers the stored distance. The discovered

@@ -30,9 +30,20 @@ object Parse {
   val StatusTruncated = 1 // wire bytes shorter than declared Content-Length
   val StatusNotParsed = 2 // non-HTML content (images: payload path instead)
   val StatusFailed = 3 // undecodable content (bad gzip stream etc.)
+  val StatusRedirect = 4 // meta-refresh page (SUCCESS_REDIRECT analog)
 
+  /** A meta refresh faster than this many seconds counts as a PERMANENT
+    * redirect for reprUrl purposes (reference fetcher/FetcherJob.java:62
+    * PERM_REFRESH_TIME, applied parse/ParseUtil.java:271).
+    */
+  val PermRefreshTime = 5
+
+  /** `refreshUrl`/`refreshTime` are set only for meta-refresh pages
+    * (status == StatusRedirect): the absolute redirect target and the
+    * declared delay in seconds.
+    */
   final case class ParseOut(outlinks: Map[String, String], text: String,
-      status: Int)
+      status: Int, refreshUrl: String = null, refreshTime: Int = -1)
 
   // ------------------------------------------------------------ gzip (C8)
 
@@ -267,6 +278,47 @@ object Parse {
 
   private def stripTags(html: String): String =
     TagRe.replaceAllIn(html, " ")
+
+  private val MetaRe = "(?is)<meta\\b([^>]*)>".r
+
+  /** `<meta http-equiv="refresh">` detection (reference
+    * parse-html/HTMLMetaProcessor.java:123-170, surfaced as
+    * SUCCESS_REDIRECT by HtmlParser.java:336-341 and turned into a
+    * discovery + reprUrl in ParseUtil.java:244-279): returns the ABSOLUTE
+    * refresh target and the declared delay seconds.
+    *
+    * Content grammar per the reference: the part before the first `;` must
+    * parse as an integer or there is no refresh at all; the target is the
+    * text after `url=` (case-insensitive), or — mis-formatted but common —
+    * everything after the `;`; a bare time refreshes the page ITSELF (the
+    * parked-page self-refresh idiom). Targets resolve like hrefs (the spec
+    * says absolute-only; the reference deliberately accepts relative, with
+    * the crawler-trap caveat noted at HTMLMetaProcessor.java:147-156).
+    * First refresh tag wins (browser behavior).
+    */
+  def metaRefresh(html: String, pageUrl: String): Option[(String, Int)] = {
+    MetaRe.findAllMatchIn(html).flatMap { m =>
+      val attrs = parseAttrs(m.group(1))
+      val equiv = attrs.get("http-equiv").map(_.trim.toLowerCase)
+      if (!equiv.contains("refresh")) Iterator.empty
+      else attrs.get("content").flatMap { raw =>
+        val content = decodeEntities(raw)
+        val idx = content.indexOf(';')
+        val timeStr = if (idx == -1) content else content.substring(0, idx)
+        timeStr.trim.toIntOption.map { time =>
+          val target =
+            if (idx == -1) Some(pageUrl)
+            else {
+              val lower = content.toLowerCase
+              val u = lower.indexOf("url=")
+              val tgt = content.substring(if (u == -1) idx + 1 else u + 4)
+              Urls.resolveOutlink(pageUrl, tgt)
+            }
+          (target.getOrElse(pageUrl), time)
+        }
+      }.iterator
+    }.nextOption()
+  }
 
   /** Visible text: tags stripped, entities decoded, whitespace collapsed. */
   def extractText(html: String): String =

@@ -79,8 +79,18 @@ object PayloadParsers {
   object Html extends PayloadParser {
     def parse(url: String, ct: String, bytes: Array[Byte]): ParseOut = {
       val html = new String(bytes, charsetOf(ct, bytes))
-      ParseOut(Parse.extractLinks(html, url).toMap,
-        Parse.extractText(html), Parse.StatusOk)
+      Parse.metaRefresh(html, url) match {
+        case Some((target, time)) =>
+          // SUCCESS_REDIRECT contract (reference ParseUtil.java:259-279):
+          // the refresh target is the page's SOLE contribution — regular
+          // outlinks and text are NOT taken from a redirecting page (the
+          // else branch at :293-296 that copies them never runs)
+          ParseOut(Map.empty, "", Parse.StatusRedirect,
+            refreshUrl = target, refreshTime = time)
+        case None =>
+          ParseOut(Parse.extractLinks(html, url).toMap,
+            Parse.extractText(html), Parse.StatusOk)
+      }
     }
   }
 

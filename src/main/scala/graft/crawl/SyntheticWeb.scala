@@ -42,6 +42,12 @@ final case class ImageFile(bytes: Array[Byte], w: Int, h: Int, fmt: String,
 case object NotFound extends WebContent
 final case class Redirect(to: String, permanent: Boolean) extends WebContent
 case object ServerError extends WebContent // transient -> retry
+/** A 200 HTML page whose only real content is a `<meta http-equiv=refresh>`
+  * (the parked/migrated-page idiom); seconds < Parse.PermRefreshTime makes
+  * it a PERMANENT redirect for reprUrl purposes.
+  */
+final case class RefreshPage(to: String, seconds: Int,
+    bodyLinks: Map[String, String]) extends WebContent
 
 /** Protocol-level response (what a Fetcher returns): raw wire bytes +
   * headers. `contentLength` is the DECLARED length — `bytes` may be
@@ -164,7 +170,15 @@ object SyntheticWeb {
     // outcomes the reference's FetcherReducer dispatch handles,
     // FetcherReducer.java:557-605)
     math.floorMod(h, 100L) match {
-      case m if m < 80 => HtmlPage(outlinksOf(hostIdx, page, h, cfg))
+      case m if m < 78 => HtmlPage(outlinksOf(hostIdx, page, h, cfg))
+      case m if m < 80 =>
+        // meta-refresh pages (T7 parse-level redirects): m==78 permanent
+        // (0 s < PERM_REFRESH_TIME), m==79 temporary (30 s). The body
+        // still carries ordinary links — per the reference's
+        // SUCCESS_REDIRECT contract they must NOT become discoveries.
+        RefreshPage(pageUrl(hostIdx, (page + 3) % cfg.pagesPerHost),
+          seconds = if (m == 78) 0 else 30,
+          bodyLinks = outlinksOf(hostIdx, page, h, cfg))
       case m if m < 84 =>
         Redirect(pageUrl(hostIdx, (page + 1) % cfg.pagesPerHost),
           permanent = m >= 82)
@@ -237,8 +251,8 @@ object SyntheticWeb {
     * Same-host hrefs render relative on half the links; hrefs and anchors
     * are entity-encoded.
     */
-  private def renderPage(url: String, outlinks: Map[String, String])
-      : RawPage = {
+  private def renderPage(url: String, outlinks: Map[String, String],
+      refresh: Option[(String, Int)] = None): RawPage = {
     val h = h64(url)
     val iso = math.floorMod(h, 5L) == 0
     val headerCharset = math.floorMod(h, 5L) == 1
@@ -248,6 +262,16 @@ object SyntheticWeb {
     val sb = new StringBuilder(1024)
     sb.append("<html><head>")
     if (iso) sb.append("<meta charset=\"ISO-8859-1\">")
+    refresh.foreach { case (to, secs) =>
+      // target rendered relative on half the same-host cases + entity-
+      // encoded, like ordinary hrefs — the parser must undo both
+      val tgt = if (Urls.host(to) == host && ((h ^ h64(to)) & 1L) == 0L)
+        Urls.pathOf(to)
+      else to
+      sb.append("<meta http-equiv=\"refresh\" content=\"")
+        .append(Parse.encodeEntities(s"$secs; url=$tgt"))
+        .append("\">")
+    }
     sb.append("<title>").append(Parse.encodeEntities(s"Page ${Urls.pathOf(url)}"))
       .append("</title></head><body><p>")
       .append(Parse.encodeEntities(pageText(url, iso)))
@@ -281,6 +305,8 @@ object SyntheticWeb {
   /** The protocol response for a URL — what a Fetcher returns. */
   def raw(url: String, cfg: WebConfig): RawResponse = content(url, cfg) match {
     case HtmlPage(outlinks) => renderPage(url, outlinks)
+    case RefreshPage(to, secs, bodyLinks) =>
+      renderPage(url, bodyLinks, refresh = Some((to, secs)))
     case img: ImageFile =>
       RawPage(s"image/${img.fmt}",
         Map("content-type" -> s"image/${img.fmt}",
@@ -293,7 +319,7 @@ object SyntheticWeb {
 
   /** Map content to a fetch outcome code (FetcherReducer status dispatch). */
   def outcomeOf(c: WebContent): Int = c match {
-    case _: HtmlPage | _: ImageFile => FetchOutcome.Success
+    case _: HtmlPage | _: ImageFile | _: RefreshPage => FetchOutcome.Success
     case NotFound => FetchOutcome.Gone
     case ServerError => FetchOutcome.RetryTransient
     case Redirect(_, true) => FetchOutcome.RedirPerm

@@ -83,7 +83,7 @@ final case class ParsedPage(
     host: String,
     outcome: Int,
     contentType: String,
-    redirectTo: String,
+    redirectTo: String, // fetch-level redirect OR meta-refresh target
     outlinks: Map[String, String], // dst url -> anchor/alt
     text: String, // visible text (entity-decoded, tag-stripped)
     signature: Array[Byte], // md5 of raw content bytes
@@ -93,7 +93,8 @@ final case class ParsedPage(
     srcDistance: Int,
     fetchStart: Long,
     fetchEnd: Long,
-    batchId: String)
+    batchId: String,
+    refreshTime: Int = -1) // meta-refresh delay secs; -1 = no refresh
 
 /** One hostdb row (= the reference's Host table, storage/Host.java:41-110,
   * computed by host/HostDbUpdateReducer.java:39-80): per-host crawl stats
@@ -124,9 +125,14 @@ final case class HostRow(
     outLinkHosts: Map[String, Long],
     batchId: String)
 
-/** One fetch outcome keyed for the updatedb broadcast merge. */
+/** One fetch outcome keyed for the updatedb broadcast merge.
+  * `redirectTo` carries the fetch-level redirect target, or — for a
+  * Success outcome — the parse-level meta-refresh target (refreshTime
+  * then >= 0; < Parse.PermRefreshTime means permanent, ParseUtil.java:271).
+  */
 final case class Outcome(urlHash: Long, outcome: Int,
-    signature: Array[Byte], batchId: String, redirectTo: String)
+    signature: Array[Byte], batchId: String, redirectTo: String,
+    refreshTime: Int = -1)
 
 /** A discovered URL emitted by parse toward updatedb. `contrib` is the
   * inherited-score contribution srcScore/srcOutDegree; the per-destination

@@ -182,6 +182,82 @@ class ParseSpec extends AnyFunSuite {
         s"ent=$sawEntityHref")
   }
 
+  test("meta refresh: content grammar, resolution, permanence " +
+    "(HTMLMetaProcessor.java:123-170 / ParseUtil.java:244-279 semantics)") {
+    val page = "http://a.example/dir/x.html"
+    // full form, absolute target
+    assert(Parse.metaRefresh(
+      """<html><head><meta http-equiv="refresh" content="0; url=http://b.example/y"></head></html>""",
+      page) === Some(("http://b.example/y", 0)))
+    // relative target resolves against the page URL; case-insensitive
+    // http-equiv/URL=; single quotes
+    assert(Parse.metaRefresh(
+      """<meta HTTP-EQUIV='Refresh' content='30; URL=../z.html'>""",
+      page) === Some(("http://a.example/z.html", 30)))
+    // time-only refresh targets the page ITSELF
+    assert(Parse.metaRefresh("""<meta http-equiv=refresh content=45>""",
+      page) === Some((page, 45)))
+    // mis-formatted (no url=): everything after ';' is the target
+    assert(Parse.metaRefresh(
+      """<meta http-equiv="refresh" content="5;http://c.example/">""",
+      page) === Some(("http://c.example/", 5)))
+    // entity-encoded target survives
+    assert(Parse.metaRefresh(
+      """<meta http-equiv="refresh" content="9; url=http://c.example/?a=1&amp;b=2">""",
+      page) === Some(("http://c.example/?a=1&b=2", 9)))
+    // unparseable time => NO refresh at all (reference: parse failure
+    // skips setRefresh)
+    assert(Parse.metaRefresh(
+      """<meta http-equiv="refresh" content="soon; url=http://b.example/">""",
+      page) === None)
+    // unrelated meta tags don't trigger
+    assert(Parse.metaRefresh(
+      """<meta charset="utf-8"><meta name="refresh" content="5">""",
+      page) === None)
+  }
+
+  test("meta-refresh page parses to SUCCESS_REDIRECT: sole discovery is " +
+    "the target, body links and text dropped") {
+    val html =
+      """<html><head><meta http-equiv="refresh" content="0; url=/moved.html">
+        |</head><body>some text <a href="/other.html">other</a></body></html>"""
+        .stripMargin
+    val po = Parse.page("http://a.example/old.html", "text/html",
+      Map.empty, html.getBytes(StandardCharsets.UTF_8), html.length.toLong)
+    assert(po.status === Parse.StatusRedirect)
+    assert(po.refreshUrl === "http://a.example/moved.html")
+    assert(po.refreshTime === 0)
+    assert(po.outlinks.isEmpty && po.text.isEmpty)
+    // permanence boundary: < PermRefreshTime is permanent
+    assert(0 < Parse.PermRefreshTime && 30 >= Parse.PermRefreshTime)
+  }
+
+  test("synthetic web renders refresh pages the parser recovers") {
+    val cfg = WebConfig(numHosts = 12, pagesPerHost = 40)
+    var perm = 0
+    var temp = 0
+    for (h <- 0 until cfg.numHosts; p <- 0 until cfg.pagesPerHost) {
+      val url = SyntheticWeb.pageUrl(h, p)
+      SyntheticWeb.content(url, cfg) match {
+        case RefreshPage(to, secs, _) =>
+          SyntheticWeb.raw(url, cfg) match {
+            case RawPage(ct, headers, bytes, declared) =>
+              val po = Parse.page(url, ct, headers, bytes, declared)
+              if (bytes.length == declared) {
+                assert(po.status === Parse.StatusRedirect, s"at $url")
+                assert(po.refreshUrl === to, s"at $url")
+                assert(po.refreshTime === secs)
+                assert(po.outlinks.isEmpty, s"body links leaked at $url")
+                if (secs < Parse.PermRefreshTime) perm += 1 else temp += 1
+              } else assert(po.status === Parse.StatusTruncated)
+            case other => fail(s"$url rendered $other")
+          }
+        case _ =>
+      }
+    }
+    assert(perm > 0 && temp > 0, s"coverage: perm=$perm temp=$temp")
+  }
+
   test("ISO-8859-1 page text decodes accents correctly") {
     val cfg = WebConfig(numHosts = 12, pagesPerHost = 40)
     val isoTexts = for {

@@ -127,9 +127,19 @@ final class Simulator(
               // the same pure parse function the pipeline's parse stage
               // runs (truncation / gzip / charset / entity handling)
               val po = Parse.page(r.url, ct, headers, bytes, declaredLen)
-              val n = math.max(1, po.outlinks.size)
+              val n = math.max(1,
+                po.outlinks.size + (if (po.refreshUrl != null) 1 else 0))
               po.outlinks.foreach { case (raw, anchor) =>
                 discover(raw, anchor, r.score / n, r.distance + 1)
+              }
+              // T7 parse-level redirect (meta refresh): the target is a
+              // discovery; a fast refresh is PERMANENT for reprUrl
+              // (ParseUtil.java:244-279)
+              if (po.refreshUrl != null) {
+                discover(po.refreshUrl, "", r.score / n, r.distance + 1)
+                if (po.refreshTime >= 0 &&
+                  po.refreshTime < Parse.PermRefreshTime)
+                  r.reprUrl = po.refreshUrl
               }
             case RawRedirect(to, perm) =>
               outcomes += ((r,
