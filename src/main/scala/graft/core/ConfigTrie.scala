@@ -20,6 +20,7 @@ final case class SiteConfig(
     crawlDelayMs: Long = 0L, // politeness delay between fetches
     maxConcurrent: Int = 1, // concurrent fetches per host
     subFilters: Seq[FilterRule] = Nil, // per-node ±regex (SubURLFilters)
+    dateFilters: Seq[DateRule] = Nil, // date-window rules (DateFilter)
     rewrite: Option[(String, String)] = None) // F6 pattern->substitution
     extends Serializable {
 
@@ -32,11 +33,14 @@ final case class SiteConfig(
     case None => url
   }
 
-  def acceptsSub(url: String): Boolean =
-    if (subFilters.isEmpty) true
+  def acceptsSub(url: String): Boolean = {
+    // reference SubURLFilters.java:22-54 filter(): a rejecting DateFilter
+    // short-circuits to reject REGARDLESS of the ± regex outcome (the
+    // non-RegexFilter `return false` branch at :38-39)
+    if (dateFilters.exists(!_.accepts(url))) false
+    else if (subFilters.isEmpty) true
     else {
-      // reference SubURLFilters.java:28-119: any -rule match rejects;
-      // if +rules exist, at least one must match.
+      // any -rule match rejects; if +rules exist, at least one must match
       val negReject = subFilters.exists(r =>
         !r.accept && r.pattern.findFirstIn(url).isDefined)
       if (negReject) false
@@ -45,6 +49,7 @@ final case class SiteConfig(
         pos.isEmpty || pos.exists(_.pattern.findFirstIn(url).isDefined)
       }
     }
+  }
 }
 
 object SiteConfig {

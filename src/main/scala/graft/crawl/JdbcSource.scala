@@ -2,7 +2,7 @@ package graft.crawl
 
 import org.apache.spark.sql.SparkSession
 
-import graft.core.{ConfigTrie, FilterRule, SiteConfig}
+import graft.core.{ConfigTrie, SiteConfig}
 
 /** JDBC seed + per-site-config source (S3 — reference
   * crawl/InjectorDbJob.java:127-148 reads seed URLs from an RDBMS;
@@ -48,11 +48,14 @@ object JdbcSource {
   /** Per-site config trie from a table (prefix VARCHAR, cfg_id INT,
     * crawl_delay_ms BIGINT, max_concurrent INT, max_per_host INT,
     * custom_score DOUBLE, custom_interval_sec INT, fetch_depth INT,
-    * sub_filters VARCHAR — `+regex` / `-regex` lines separated by '\n',
-    * the reference's SubURLFilters format).
+    * sub_filters VARCHAR — `+regex` / `-regex` / `datecalc:` / `datespec:`
+    * lines separated by '\n', the reference's SubURLFilters.buildExp
+    * grammar — see graft.core.SubFilters). `nowMs` anchors `datecalc:`
+    * cutoffs (the crawl's virtual clock, so rules are deterministic).
     */
   def configTrie(spark: SparkSession, jdbcUrl: String, table: String,
-      props: java.util.Properties = new java.util.Properties): ConfigTrie = {
+      props: java.util.Properties = new java.util.Properties,
+      nowMs: Long = System.currentTimeMillis()): ConfigTrie = {
     import spark.implicits._
     val rows = spark.read.jdbc(jdbcUrl, table, props)
       .selectExpr("prefix", "CAST(cfg_id AS INT) AS cfg_id",
@@ -66,11 +69,7 @@ object JdbcSource {
       .collect()
     ConfigTrie.build(rows.toSeq.map {
       case (prefix, id, delay, conc, perHost, score, interval, depth, subs) =>
-        val subFilters = Option(subs).getOrElse("").split("\n")
-          .map(_.trim).filter(_.nonEmpty).toSeq
-          .map { line =>
-            FilterRule(accept = line.startsWith("+"), line.substring(1).r)
-          }
+        val (subFilters, dateFilters) = graft.core.SubFilters.parse(subs, nowMs)
         prefix -> SiteConfig(
           cfgId = id,
           customScore = score.toFloat,
@@ -79,7 +78,8 @@ object JdbcSource {
           maxPerHost = perHost,
           crawlDelayMs = delay,
           maxConcurrent = conc,
-          subFilters = subFilters)
+          subFilters = subFilters,
+          dateFilters = dateFilters)
     })
   }
 }
