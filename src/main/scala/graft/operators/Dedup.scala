@@ -243,21 +243,26 @@ object Dedup {
         coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
     }
-    // EAGER localCheckpoint each round: it swaps the logical plan for a
+    // EAGER checkpoint each round: it swaps the logical plan for a
     // LogicalRDD, keeping per-round plan size O(1). Without truncation the
     // star operators DOUBLE the plan tree every round (union of both edge
     // orientations + joins) and driver-side ANALYSIS, not execution,
-    // becomes the bottleneck within a handful of rounds. On a cluster,
-    // substitute reliable `checkpoint` (same truncation, HDFS-backed) so a
-    // lost executor cannot drop a round's only copy.
-    var cur = canon(edges.select(col(edges.columns(0)).cast("long").as("u"),
-      col(edges.columns(1)).cast("long").as("v")))
-      .localCheckpoint()
+    // becomes the bottleneck within a handful of rounds. When a checkpoint
+    // dir is configured (a cluster: HDFS/object store), use RELIABLE
+    // checkpoint so a lost executor cannot drop a round's only copy;
+    // executor-local checkpoint otherwise (local mode / tests).
+    def ckpt(e: DataFrame): DataFrame =
+      if (e.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        e.checkpoint()
+      else e.localCheckpoint()
+    var cur = ckpt(canon(edges.select(
+      col(edges.columns(0)).cast("long").as("u"),
+      col(edges.columns(1)).cast("long").as("v"))))
     var lastSum = checksum(cur)
     var it = 0
     var converged = false
     while (it < maxIter && !converged) {
-      val next = smallStar(largeStar(cur)).localCheckpoint()
+      val next = ckpt(smallStar(largeStar(cur)))
       val sum = checksum(next)
       cur.unpersist()
       cur = next
@@ -287,7 +292,10 @@ object Dedup {
     val cc = connectedComponents(pairs)
     val d0 = docs(s, dir).select(col("doc_id"))
     val d = if (capDocs > 0) d0.orderBy(col("doc_id")).limit(capDocs) else d0
-    d.join(cc, d("doc_id") === cc("node"), "left")
+    // the CC label table holds only nodes incident to a near-dup pair —
+    // tiny next to the corpus, so the label join must broadcast (the
+    // corpus side never shuffles)
+    d.join(broadcast(cc), d("doc_id") === cc("node"), "left")
       .select(col("doc_id"),
         coalesce(col("component"), col("doc_id")).as("component"))
       .withColumn("keep",

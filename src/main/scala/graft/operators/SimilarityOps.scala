@@ -460,6 +460,31 @@ object SimilarityOps {
       .select(col("query_id"), col("vec_id"), col("sim"), col("rn"))
   }
 
+  /** Exact embedding near-duplicate pairs: ALL pairs with rounded cosine
+    * >= threshold, over the first `capVecs` vec_ids. This is the
+    * EXACTNESS BASELINE for near-dup (same role and same corpus-cap
+    * pattern as q_minhash_pairs / q_cosine_topk): the cap bounds the
+    * O(n^2) pair mass so it cannot ride corpus growth, the broadcast
+    * keeps the big side shuffle-free, and the SQL oracle can reproduce
+    * the result bit-for-bit. The LSH-blocked [[embeddingNearDup]] is the
+    * 100 TB path — on this corpus the thresholded pairs are all
+    * borderline-similarity (0.35-0.6 cosine), exactly the regime where
+    * any LSH family has recall < 1 by construction, so the approximate
+    * form is verified by a recall spec, not an equality oracle.
+    */
+  def embeddingNearDupExact(s: SparkSession, dir: String,
+      threshold: Double = 0.35, dim: Int = 64, capVecs: Int = 2000)
+      : DataFrame = {
+    val e = emb(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .orderBy(col("vec_id")).limit(capVecs)
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
+    e.join(broadcast(b), col("vec_id") < col("id_b"))
+      .select(col("vec_id").as("id_a"), col("id_b"),
+        round(cosine(col("v"), col("vb"), dim), 4).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** Embedding near-duplicate detection: pairs with cosine >= threshold,
     * LSH-blocked (multi-table), exactly verified within bucket.
     */
@@ -500,12 +525,21 @@ object SimilarityOps {
         "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
         "round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) DESC, e.vec_id ASC) AS rn " +
         "FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q " +
-        "WHERE e.vec_id <> q.vec_id) WHERE rn <= 5"))
+        "WHERE e.vec_id <> q.vec_id) WHERE rn <= 5"),
+    // exact thresholded pairs over the capped corpus (same cap pattern as
+    // q_minhash_pairs); round-then-threshold on both sides
+    "q_embedding_near_dup" ->
+      ("WITH e AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 2000) " +
+        "SELECT id_a, id_b, sim FROM (" +
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim " +
+        "FROM e a JOIN e b ON a.vec_id < b.vec_id) WHERE sim >= 0.35"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cosine_topk" -> ((s, d) => cosineTopK(s, d)),
     "q_cosine_topk_lsh" -> ((s, d) => cosineTopKLsh(s, d)),
     "q_cosine_topk_ivf" -> ((s, d) => cosineTopKIvf(s, d)),
     "q_cosine_topk_pq" -> ((s, d) => cosineTopKPq(s, d)),
-    "q_embedding_near_dup" -> ((s, d) => embeddingNearDup(s, d)))
+    "q_embedding_near_dup" -> ((s, d) => embeddingNearDupExact(s, d)),
+    "q_embedding_near_dup_lsh" -> ((s, d) => embeddingNearDup(s, d)))
 }

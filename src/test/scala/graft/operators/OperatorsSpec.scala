@@ -174,6 +174,42 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("embeddingNearDupExact equals in-test brute force; LSH variant is " +
+    "a subset with measured recall") {
+    import spark.implicits._
+    val exact = SimilarityOps.embeddingNearDupExact(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSet
+    // in-test brute force (independent arithmetic path)
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      .sortBy(_._1).take(2000)
+      .map { case (id, v) => (id, v.map(_.toDouble)) }
+    val expected = (for {
+      i <- vecs.indices.iterator
+      j <- (i + 1) until vecs.length
+      (ia, va) = vecs(i)
+      (ib, vb) = vecs(j)
+      dot = va.zip(vb).map { case (x, y) => x * y }.sum
+      na = math.sqrt(va.map(x => x * x).sum)
+      nb = math.sqrt(vb.map(x => x * x).sum)
+      sim = math.rint(dot / (na * nb) * 1e4) / 1e4
+      if sim >= 0.35
+    } yield (ia, ib, sim)).toSet
+    assert(exact.map(p => (p._1, p._2)) === expected.map(p => (p._1, p._2)))
+    exact.foreach { case (a, b, s) =>
+      val es = expected.find(e => e._1 == a && e._2 == b).get._3
+      assert(math.abs(s - es) < 1e-9, s"sim drift at ($a,$b)")
+    }
+    // LSH variant: strict subset (every emitted pair is a true pair) with
+    // recall reported — borderline-sim pairs are exactly where LSH loses
+    val lsh = SimilarityOps.embeddingNearDup(spark, sfDir)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    val exactKeys = exact.map(p => (p._1, p._2))
+    assert(lsh.subsetOf(exactKeys), "LSH emitted a non-pair")
+    val recall = lsh.size.toDouble / exactKeys.size
+    assert(recall > 0.5, f"LSH recall collapsed: $recall%.2f")
+  }
+
   test("hot-bucket cap: bounded pair work, graceful split, connectivity") {
     // splittable skew: directionally-spread vectors -> recursive
     // hyperplane splits partition the bucket with no duplication
@@ -312,6 +348,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(clusters.length === math.min(2000,
       spark.read.parquet(s"$sfDir/documents.parquet").count()).toInt)
     assert(clusters.map(_._1).distinct.length === clusters.length)
+    // scale plan shape: the tiny CC label table broadcasts — the corpus
+    // side of the label join must not shuffle
+    val plan = Dedup.dedupClusters(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"label join not broadcast:\n${plan.take(2000)}")
+  }
+
+  test("connectedComponents uses reliable checkpoint when a checkpoint " +
+    "dir is configured (cluster mode), same labels either way") {
+    import spark.implicits._
+    val edges = ((0L until 40L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (101L, 102L))).toDF("src", "dst")
+    val noDir = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    try {
+      spark.sparkContext.setCheckpointDir(dir.toString)
+      val withDir = Dedup.connectedComponents(edges)
+        .as[(Long, Long)].collect().toMap
+      assert(withDir === noDir)
+      // the reliable path actually wrote checkpoint state
+      import scala.jdk.CollectionConverters._
+      val wrote = java.nio.file.Files.walk(dir).iterator().asScala
+        .count(_.toFile.isFile)
+      assert(wrote > 0, "no reliable checkpoint files written")
+    } finally {
+      // Spark has no public checkpoint-dir unset and the session is
+      // shared across suites: empty the dir's contents but KEEP the path
+      // valid (a later CC call in another test would otherwise write
+      // into a deleted directory); KB-sized, removed with the JVM's tmp
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).filter(_ != dir)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 
   test("stratified sample: deterministic, per-stratum K bound, rank " +
