@@ -31,7 +31,16 @@ import org.apache.spark.sql.SparkSession
   *    clean, else over all pairs (flagged in the estimator string). The
   *    all-pairs median and every sample + canary value are always in the
   *    artifact, so a bad number is attributable to the box IN the
-  *    artifact itself.
+  *    artifact itself;
+  *  - (v5) a WALL BUDGET (`SPARK_GRAFT_BENCH_BUDGET_SEC`, default 2100 s)
+  *    bounds scheduling — a new pair runs only while the previous pair's
+  *    duration still fits, at least one pair always runs — and the
+  *    artifact is emitted INCREMENTALLY: a complete cumulative JSON line
+  *    (flagged "partial") after the query block and after every pair, so
+  *    a driver kill at any point still leaves a parseable artifact (the
+  *    round-5 driver artifact was rc=124 with nothing parseable because
+  *    v4 grew past the driver's wall clock and emitted only at the end).
+  *    The stop rule reads the clock, never the measured numbers.
   * (No real cluster in this sandbox; the pair is two parallelism levels
   * of one box — see BASELINE.md's measurement protocol.)
   */
@@ -128,6 +137,30 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    val t0 = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - t0) / 1e9
+    // WALL BUDGET + INCREMENTAL EMISSION (pre-registered, round 6): the
+    // round-5 driver artifact was rc=124/parsed:null because the full v4
+    // protocol outgrew the driver's wall clock and the artifact was
+    // emitted only at the very end. Two rules, fixed before running:
+    //  (a) a cumulative artifact line (flagged "partial":true) is printed
+    //      AND written to BENCH_RESULT.json the moment the query block
+    //      finishes and again after EVERY scaling pair — a kill at any
+    //      point leaves the latest parseable state;
+    //  (b) a new pair (or the wide run) is scheduled only while
+    //      elapsed + (duration of the previous comparable run) fits the
+    //      budget; at least one pair always runs. Budget-conditioned
+    //      stopping, never result-conditioned: the decision reads the
+    //      CLOCK, not the numbers, and the completed-pair count is
+    //      flagged in the estimator string.
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "2100")
+      .toDouble
+    def emit(json: String): Unit = {
+      println(json)
+      System.out.flush()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_RESULT.json"), json + "\n")
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
 
@@ -149,7 +182,10 @@ object Bench {
     // warm-up separated from the timed run by a dozen other queries gets
     // EVICTED and re-pays compilation (measured: 34.6 s "warm" when
     // warmed at session start vs 16.1 s when warmed adjacently). The
-    // warm-up's own wall is reported as q_crawl_loop_cold_sec.
+    // warm-up runs DEPTH 1 (not the full depth-2 loop): one batch visits
+    // every codegen/encoder path the timed run takes, at a fraction of
+    // the wall — part of the round-6 budget trim. Its wall is reported
+    // as q_crawl_loop_warmup_sec.
     var crawlColdSec = -1.0
     // the query block gets the same box-state diagnosability as the
     // scaling pairs: a canary before and after (the round-4/run-B
@@ -162,7 +198,8 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (name == "q_crawl_loop") {
         val tc = System.nanoTime()
-        try fn(spark, sfDir).count() catch { case _: Throwable => }
+        try SparkEntry.crawlLoop(spark, sfDir, depth = 1).count()
+        catch { case _: Throwable => }
         crawlColdSec = (System.nanoTime() - tc) / 1e9
       }
       val t0 = System.nanoTime()
@@ -173,6 +210,24 @@ object Bench {
     val queryCanaryPost = canarySec(CanaryIters)
     val queryCanaryParPost = canaryParSec(CanaryIters)
     spark.stop()
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    /** Full artifact around the (fixed) query block; `crawlJson` grows as
+      * pairs complete. Every emission is a complete, parseable artifact —
+      * the driver reads the LAST line / the file, so a kill between
+      * emissions costs at most one pair, never the whole artifact.
+      */
+    def artifact(crawlJson: String, partial: Boolean): String =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""q_crawl_loop_warmup_sec":$crawlColdSec,""" +
+        f""""query_canary_sec":[$queryCanaryPre%.2f,$queryCanaryPost%.2f],""" +
+        f""""query_canary_par_sec":[$queryCanaryParPre%.2f,$queryCanaryParPost%.2f],""" +
+        s""""sf":"$sfDir","partial":$partial,""" +
+        f""""elapsed_sec":$elapsedSec%.1f,"budget_sec":$budgetSec,""" +
+        s""""crawl":$crawlJson}"""
+    emit(artifact("null", partial = true)) // queries survive from here on
 
     // --- crawl scaling: fresh JVM per run, canary-bracketed alternated
     // N/4N pairs (protocol in the object doc). Pair chosen inside the
@@ -198,28 +253,6 @@ object Bench {
       canaries += canarySec(CanaryIters)
       canariesPar += canaryParSec(CanaryIters)
     }
-    takeCanaries()
-    val pairRuns = (1 to nPairs).map { _ =>
-      val r = onePair()
-      takeCanaries()
-      r
-    }
-    // a pair is clean only if BOTH canary modes were clean on both sides:
-    // the 1-thread loop catches whole-box contention, the 4-thread loop
-    // catches multicore throttling that leaves single-thread speed intact
-    val cMin = canaries.min
-    val cpMin = canariesPar.min
-    val cleanMask = (0 until nPairs).map(i =>
-      canaries(i) <= CanaryFactor * cMin &&
-        canaries(i + 1) <= CanaryFactor * cMin &&
-        canariesPar(i) <= CanaryFactor * cpMin &&
-        canariesPar(i + 1) <= CanaryFactor * cpMin)
-    val cleanCount = cleanMask.count(identity)
-    val allRuns = pairRuns.flatten
-    val usedRuns =
-      if (cleanCount >= 2)
-        pairRuns.zip(cleanMask).filter(_._2).flatMap(_._1)
-      else allRuns
 
     def samplesIn(runs: Seq[(Int, (Long, Double, Double, Double))], c: Int)
         : Seq[(Long, Double, Double, Double)] =
@@ -242,19 +275,34 @@ object Bench {
     def arr(xs: Seq[Double]): String =
       xs.map(x => f"$x%.2f").mkString("[", ",", "]")
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    // absolute-throughput headline at wider parallelism (cpus/4), outside
-    // the efficiency pair
-    val wideCpus = math.max(n4Cpus, cpus / 4)
-    val wide =
-      try Some(scalingRun(wideCpus, warmup = false))
-      catch { case e: Exception =>
-        System.err.println(s"[bench] wide run failed: $e"); None }
-    val wideThr = wide.map(w => if (w._2 > 0) w._1 / w._2 else 0.0)
-      .getOrElse(0.0)
-    val crawlJson =
+    /** Cumulative crawl JSON over the pairs completed so far (the clean
+      * mask, medians, and estimator are all recomputed per emission).
+      */
+    def crawlJson(pairRuns: Seq[Seq[(Int, (Long, Double, Double, Double))]],
+        budgetStopped: Boolean,
+        wide: Option[(Int, (Long, Double, Double, Double))]): String = {
+      val done = pairRuns.length
+      if (done == 0) return "null"
+      // a pair is clean only if BOTH canary modes were clean on both
+      // sides: the 1-thread loop catches whole-box contention, the
+      // 4-thread loop catches multicore throttling that leaves
+      // single-thread speed intact
+      val cMin = canaries.min
+      val cpMin = canariesPar.min
+      val cleanMask = (0 until done).map(i =>
+        canaries(i) <= CanaryFactor * cMin &&
+          canaries(i + 1) <= CanaryFactor * cMin &&
+          canariesPar(i) <= CanaryFactor * cpMin &&
+          canariesPar(i + 1) <= CanaryFactor * cpMin)
+      val cleanCount = cleanMask.count(identity)
+      val allRuns = pairRuns.flatten
+      val usedRuns =
+        if (cleanCount >= 2)
+          pairRuns.zip(cleanMask).filter(_._2).flatMap(_._1)
+        else allRuns
+      val wideThr = wide.map(w => if (w._2._2 > 0) w._2._1 / w._2._2 else 0.0)
+        .getOrElse(0.0)
+      val wideCores = wide.map(_._1).getOrElse(0)
       (median(thrOf(samplesIn(usedRuns, nCpus))),
         median(thrOf(samplesIn(usedRuns, n4Cpus)))) match {
         case (Some(thrN), Some(thr4n)) if thrN > 0 =>
@@ -281,29 +329,55 @@ object Bench {
             s""""compaction_sec_4N":${medOf(_._4, n4Cpus)},""" +
             s""""compaction_sec_N":${medOf(_._4, nCpus)},""" +
             s""""cores_N":$nCpus,"cores_4N":$n4Cpus,""" +
+            s""""pairs_completed":$done,"pairs_preregistered":$nPairs,""" +
             s""""estimator":"median over ${
               if (cleanCount >= 2) s"$cleanCount canary-clean" else s"ALL (only $cleanCount clean)"
-            } of $nPairs pre-registered pairs; canary-bracketed; """ +
+            } of $done completed pairs ($nPairs pre-registered${
+              if (budgetStopped) s"; stopped by the ${budgetSec.toInt}s wall budget" else ""
+            }); canary-bracketed; """ +
             s"""single-box core pair $nCpus->$n4Cpus, NOT a multi-node """ +
             s"""8->32 claim",""" +
-            s""""cores_wide":$wideCpus,""" +
+            s""""cores_wide":$wideCores,""" +
             s""""fetched_urls_per_sec_wide":$wideThr,""" +
             s""""scaling_efficiency":$eff,""" +
             s""""scaling_efficiency_allpairs":$effAll,""" +
             s""""scaling_efficiency_best":$effBest}"""
         case _ => "null"
       }
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""q_crawl_loop_cold_sec":$crawlColdSec,""" +
-        f""""query_canary_sec":[$queryCanaryPre%.2f,$queryCanaryPost%.2f],""" +
-        f""""query_canary_par_sec":[$queryCanaryParPre%.2f,$queryCanaryParPost%.2f],""" +
-        s""""sf":"$sfDir","crawl":$crawlJson}"""
-    // stdout for the driver AND a file copy: round 1's BENCH artifact had
-    // "parsed": null because the line had to be fished out of an
-    // sbt-prefixed log tail.
-    println(json)
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_RESULT.json"), json + "\n")
+    }
+
+    takeCanaries()
+    val pairRuns =
+      scala.collection.mutable.ArrayBuffer[Seq[(Int, (Long, Double, Double, Double))]]()
+    var lastPairSec = 0.0
+    var budgetStopped = false
+    var i = 0
+    while (i < nPairs && !budgetStopped) {
+      // predictive budget check: schedule the next pair only if the
+      // previous pair's duration still fits (always run pair 1 — an
+      // artifact with zero pairs has no efficiency evidence at all)
+      if (i > 0 && elapsedSec + lastPairSec > budgetSec) budgetStopped = true
+      else {
+        val tp = System.nanoTime()
+        val r = onePair()
+        lastPairSec = (System.nanoTime() - tp) / 1e9
+        takeCanaries()
+        pairRuns += r
+        emit(artifact(crawlJson(pairRuns.toSeq, budgetStopped = false, None),
+          partial = true))
+        i += 1
+      }
+    }
+    // absolute-throughput headline at wider parallelism (cpus/4), outside
+    // the efficiency pair; scheduled only if the budget still allows (a
+    // 4N-pair half is the closest duration proxy for it)
+    val wideCpus = math.max(n4Cpus, cpus / 4)
+    val wide =
+      if (elapsedSec + lastPairSec / 2 > budgetSec) None
+      else try Some(wideCpus -> scalingRun(wideCpus, warmup = false))
+      catch { case e: Exception =>
+        System.err.println(s"[bench] wide run failed: $e"); None }
+    emit(artifact(crawlJson(pairRuns.toSeq, budgetStopped, wide),
+      partial = false))
   }
 }

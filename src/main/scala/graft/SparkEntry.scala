@@ -24,7 +24,8 @@ object SparkEntry {
     * WebTableReader stats readout of a 2-batch crawl. Deterministic
     * (virtual clock, seeded web); verified in depth by CrawlParitySpec.
     */
-  def crawlLoop(spark: SparkSession, dir: String): DataFrame = {
+  def crawlLoop(spark: SparkSession, dir: String, depth: Int = 2,
+      topN: Int = 60): DataFrame = {
     import org.apache.spark.sql.functions._
     val rootPath = java.nio.file.Files.createTempDirectory("graft-crawl-q")
     val root = rootPath.toString
@@ -35,7 +36,7 @@ object SparkEntry {
       // per-job overhead (the query is a smoke surface, not the bench)
       val p = new graft.crawl.CrawlPipeline(spark, root, cfg, numBuckets = 8,
         compactEvery = 1)
-      val frontier = p.runBatches(depth = 2, topN = 60, maxPerHost = 10)
+      val frontier = p.runBatches(depth = depth, topN = topN, maxPerHost = 10)
       val agg = frontier.groupBy(col("status"))
         .agg(count(lit(1)).as("cnt"),
           round(avg(col("score")), 4).as("avg_score"),
@@ -60,15 +61,15 @@ object SparkEntry {
     RelationalOps.queries ++ TextOps.queries ++ SimilarityOps.queries ++
       Dedup.queries ++ MultimodalOps.queries ++ ExtractOps.queries ++
       SamplingOps.queries ++ PackingOps.queries +
-      ("q_crawl_loop" -> (crawlLoop _))
+      ("q_crawl_loop" -> ((s: SparkSession, d: String) => crawlLoop(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for the non-SQL-expressible ops
-    * (LSH/IVF/IVF-PQ top-k, embedding near-dup, the crawl loop — each
-    * verified by scalatest specs against brute-force or simulator oracles
-    * instead); everything else — minhash/simhash/langid and even the
-    * 64-bit rolling-hash fingerprint (HUGEINT wrap emulation) — is
-    * oracle-gated.
+    * (LSH/IVF/IVF-PQ top-k, the LSH near-dup variant, the crawl loop —
+    * each verified by scalatest specs against brute-force or simulator
+    * oracles instead); everything else — minhash/simhash/langid, exact
+    * embedding near-dup, and even the 64-bit rolling-hash fingerprint
+    * (HUGEINT wrap emulation) — is oracle-gated.
     */
   def oracleSql: Map[String, String] =
     RelationalOps.oracles ++ TextOps.oracles ++ SimilarityOps.oracles ++
