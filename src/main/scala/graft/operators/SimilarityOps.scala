@@ -475,14 +475,46 @@ object SimilarityOps {
   def embeddingNearDupExact(s: SparkSession, dir: String,
       threshold: Double = 0.35, dim: Int = 64, capVecs: Int = 2000)
       : DataFrame = {
-    val e = emb(s, dir)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    import s.implicits._
+    // The capped side is bounded by construction (capVecs × dim doubles,
+    // ~1 MB at the defaults) — the same bounded-driver-sample pattern the
+    // IVF/PQ trainers use — so broadcast it once and run the O(cap²)
+    // pair scan as partition-local JVM loops. The Catalyst alternative
+    // (broadcast self-join + a 64-term dot Project over the ~2M candidate
+    // rows) measured 15-117 s at sf0.1: per-candidate UnsafeRow
+    // materialization and array accessors dominate, not arithmetic; the
+    // loop form is <1 s for identical output. Summation order (k =
+    // 0..dim-1), sqrt-of-each-norm, and HALF_UP rounding all match the
+    // DuckDB oracle's sequential list_cosine_similarity bit-for-bit.
+    val capped = emb(s, dir)
+      .select(col("vec_id"), col("embedding"))
       .orderBy(col("vec_id")).limit(capVecs)
-    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
-    e.join(broadcast(b), col("vec_id") < col("id_b"))
-      .select(col("vec_id").as("id_a"), col("id_b"),
-        round(cosine(col("v"), col("vb"), dim), 4).as("sim"))
-      .filter(col("sim") >= threshold)
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, v) =>
+        val d = v.map(_.toDouble)
+        var nrm = 0.0
+        var k = 0
+        while (k < dim) { nrm += d(k) * d(k); k += 1 }
+        (id, d, math.sqrt(nrm))
+      }
+    val bc = s.sparkContext.broadcast(capped)
+    s.range(0, capped.length, 1, 64).mapPartitions { it =>
+      val arr = bc.value
+      it.flatMap { ii =>
+        val i = ii.toInt
+        val (ida, va, na) = arr(i)
+        Iterator.range(i + 1, arr.length).flatMap { j =>
+          val (idb, vb, nb) = arr(j)
+          var dp = 0.0
+          var k = 0
+          while (k < dim) { dp += va(k) * vb(k); k += 1 }
+          val sim = BigDecimal(dp / (na * nb))
+            .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP)
+            .toDouble
+          if (sim >= threshold) Some((ida, idb, sim)) else None
+        }
+      }
+    }.toDF("id_a", "id_b", "sim")
   }
 
   /** Embedding near-duplicate detection: pairs with cosine >= threshold,
