@@ -231,6 +231,123 @@ object MultimodalOps {
     }.toDF("media_id", "n_frames", "frame_w", "frame_h")
   }
 
+  // ------------------------------------------------- image near-dup (pHash)
+
+  /** Dup marker for the image-dedup corpus: md5 nibble 11 ≡ 3 (mod 4)
+    * AND the candidate base id (i - 1 - nibble12 % 8) is in range. An id
+    * actually COPIES its base only when the base is not itself
+    * dup-marked (one level of lookup — no chains), so the pair list is a
+    * pure md5 formula BOTH engines can evaluate.
+    */
+  private[operators] def dupMarked(i: Long): Boolean =
+    hv(i, 11) % 4 == 3 && i - 1 - hv(i, 12) % 8 >= 0
+
+  private[operators] def dupBaseOf(i: Long): Option[Long] =
+    if (!dupMarked(i)) None
+    else {
+      val b = i - 1 - hv(i, 12) % 8
+      if (dupMarked(b)) None else Some(b)
+    }
+
+  /** Structured pixels for the dedup corpus: per-cell ±60 luma plateaus
+    * from a seed-derived 64-bit pattern plus ±4 per-pixel jitter. The
+    * 8×8 cell structure gives the average-hash wide margins (cell mean
+    * sits 60 luma from the global mean), so a re-encode or a mild
+    * brightness shift moves the hash 0-2 bits while independent seeds
+    * give uniformly random 64-bit hashes — exactly the regime where a
+    * banded Hamming join has recall 1 and no accidental pairs. (The
+    * plain noise pixels ImageCodec.pixels generates are the OPPOSITE
+    * regime: every cell mean hugs the global mean and the hash is
+    * unstable by construction — fine for codec tests, useless as a
+    * dedup corpus.)
+    */
+  private[operators] def cellPatternPixels(seed: Long, w: Int, h: Int,
+      brightness: Int): Array[Int] = {
+    val bits = graft.core.XxHash64.hashLong(seed, 77L)
+    Array.tabulate(w * h) { idx =>
+      val x = idx % w
+      val y = idx / w
+      val cell = math.min(7, y * 8 / h) * 8 + math.min(7, x * 8 / w)
+      val jitter = java.lang.Math.floorMod(
+        graft.core.XxHash64.hashLong(seed ^ (idx * 0x9E3779B97F4A7C15L), 7L),
+        9L).toInt - 4
+      val l0 = (if (((bits >>> cell) & 1L) == 1L) 188 else 68) +
+        jitter + brightness
+      val l = math.max(0, math.min(255, l0))
+      (l << 16) | (l << 8) | l
+    }
+  }
+
+  /** Deterministic image corpus with planted near-duplicates: a
+    * dup-marked id re-renders its BASE's pixels (base seed, base dims)
+    * with a +4 brightness shift and encodes them in its OWN format — a
+    * re-encoded, slightly brightened copy, the common web idiom
+    * (thumbnail mirrors, CDN re-compression). Everything else renders
+    * its own seed. All payloads are real encoded bytes.
+    */
+  def syntheticImageDupCorpus(spark: SparkSession, n: Int)
+      : Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val src: Long = dupBaseOf(i).getOrElse(i)
+      val w = 16 + (hv(src, 2) * 16 + hv(src, 3)) % 33
+      val h = 16 + (hv(src, 4) * 16 + hv(src, 5)) % 33
+      val fmt = if (hv(i, 6) % 2 == 0) "png" else "jpeg"
+      val px = cellPatternPixels(graft.core.XxHash64.hashLong(src, 11L),
+        w, h, brightness = if (src != i) 4 else 0)
+      MediaRow(i, "image", ImageCodec.encode(px, w, h, fmt), fmt)
+    }
+  }
+
+  /** Image near-duplicate pairs by perceptual hash: decode → 64-bit
+    * average hash (narrow mapPartitions, no shuffle) → LSH banding (4 ×
+    * 16-bit bands as bucket keys, the simHashPairs shape) → exact
+    * bit_count(xor) verify within candidates. Any pair within Hamming
+    * distance 3 shares a band by pigeonhole; re-encoded/brightened
+    * copies land 0-2 bits apart, so banding recall is structural, not
+    * probabilistic.
+    *
+    * 100 TB shape: the only shuffle keys are (band, 16-bit value) — pair
+    * work is bounded by bucket occupancy exactly like the simhash text
+    * path; byte payloads never shuffle. EXACT duplicates all share every
+    * band — a platform-scale corpus with millions of identical logos
+    * should exact-dedup on full phash (or content digest) first, same
+    * hot-bucket caveat as simHashPairs.
+    */
+  def imagePhashDup(media: Dataset[MediaRow], maxHamming: Int = 10)
+      : DataFrame = {
+    import media.sparkSession.implicits._
+    val hashes = media.filter(_.kind == "image").mapPartitions { rows =>
+      rows.map(r => (r.media_id, ImageCodec.phashOfBytes(r.bytes)))
+    }.toDF("media_id", "ph")
+    val banded = hashes.select(col("media_id"), col("ph"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("ph"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    val a = banded.select(col("band"), col("bkey"),
+      col("media_id").as("id_a"), col("ph").as("ph_a"))
+    val b = banded.select(col("band"), col("bkey"),
+      col("media_id").as("id_b"), col("ph").as("ph_b"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Driver-facing query: planted near-dup pairs recovered from real
+    * bytes. Spark decodes every image and runs the banded phash join;
+    * the oracle derives the SAME pair set from the md5 dup formula alone
+    * (base↔dup and dup-sibling pairs within a base group). A decoder,
+    * hash, or banding defect that loses or invents a single pair fails
+    * the gate.
+    */
+  def imagePhashDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val media = syntheticImageDupCorpus(spark, 400)
+    imagePhashDup(media).select(col("id_a"), col("id_b"))
+  }
+
   /** The md5-nibble spec formula, expressed in DuckDB SQL (hv(k) =
     * instr('0123456789abcdef', substr(md5(i), k, 1)) - 1).
     */
@@ -271,10 +388,28 @@ object MultimodalOps {
         "SELECT i AS media_id, CAST(2 + h7 % 5 AS INTEGER) AS n_frames, " +
         "CAST(16 + (h2 * 16 + h3) % 33 AS INTEGER) AS frame_w, " +
         "CAST(16 + (h4 * 16 + h5) % 33 AS INTEGER) AS frame_h " +
-        "FROM hv WHERE h1 % 4 = 3"))
+        "FROM hv WHERE h1 % 4 = 3"),
+    // planted near-dup pairs from the dup formula: members of a base
+    // group = the base plus every dup that resolves to it (dup-marked,
+    // base in range and NOT itself dup-marked); pairs = all intra-group
+    // pairs (base-dup AND dup-sibling)
+    "q_image_phash_dup" ->
+      ("WITH m AS (SELECT i, " +
+        "instr('0123456789abcdef', substr(md5(CAST(i AS VARCHAR)), 11, 1)) - 1 AS h11, " +
+        "instr('0123456789abcdef', substr(md5(CAST(i AS VARCHAR)), 12, 1)) - 1 AS h12 " +
+        "FROM range(400) t(i)), " +
+        "d AS (SELECT a.i, a.i - 1 - a.h12 % 8 AS rb FROM m a " +
+        "JOIN m b ON b.i = a.i - 1 - a.h12 % 8 " +
+        "WHERE a.h11 % 4 = 3 AND a.i - 1 - a.h12 % 8 >= 0 " +
+        "AND NOT (b.h11 % 4 = 3 AND b.i - 1 - b.h12 % 8 >= 0)), " +
+        "members AS (SELECT DISTINCT rb AS grp, rb AS id FROM d " +
+        "UNION SELECT rb, i FROM d) " +
+        "SELECT a.id AS id_a, b.id AS id_b FROM members a " +
+        "JOIN members b ON a.grp = b.grp AND a.id < b.id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_stats" -> (mediaStats _),
     "q_audio_stats" -> (audioStats _),
-    "q_video_stats" -> (videoStats _))
+    "q_video_stats" -> (videoStats _),
+    "q_image_phash_dup" -> (imagePhashDupPairs _))
 }

@@ -110,6 +110,37 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("image phash near-dup: banded join recovers exactly the planted " +
+    "pairs from real bytes; margins hold") {
+    val corpus = MultimodalOps.syntheticImageDupCorpus(spark, 400).cache()
+    // expected pair set from the dup formula (base groups -> all pairs)
+    val groups = (0L until 400L).flatMap(i =>
+      MultimodalOps.dupBaseOf(i).map(b => (b, i)))
+      .groupBy(_._1).map { case (b, ds) => b +: ds.map(_._2) }
+    val expected = groups.flatMap(g =>
+      g.combinations(2).map(p => (p.min, p.max))).toSet
+    assert(expected.size >= 20, s"corpus planted only ${expected.size} pairs")
+    // the operator over real decoded bytes
+    val got = MultimodalOps.imagePhashDup(corpus)
+      .as[(Long, Long, Int)].collect()
+    assert(got.map(p => (p._1, p._2)).toSet === expected)
+    // margin audit: planted pairs sit far inside the threshold (drift
+    // from re-encode + brightness is 0-2 bits; banding recall is then
+    // structural), and the CLOSEST non-planted pair is far outside it
+    got.foreach { case (a, b, hd) =>
+      assert(hd <= 3, s"planted pair ($a,$b) drifted to $hd bits")
+    }
+    val hashes = corpus.collect()
+      .map(r => r.media_id -> ImageCodec.phashOfBytes(r.bytes)).toMap
+    val minNonPair = (for {
+      a <- 0L until 400L; b <- (a + 1) until 400L
+      if !expected.contains((a, b))
+    } yield java.lang.Long.bitCount(hashes(a) ^ hashes(b))).min
+    assert(minNonPair > 15,
+      s"non-dup images too close: min Hamming $minNonPair")
+    corpus.unpersist()
+  }
+
   test("exporter widens map fields and merges schemas across batches") {
     val seg = Seq(
       (1L, Map("title" -> "a", "price" -> "9")),
