@@ -106,6 +106,41 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }.min
 
+  /** Memory-bandwidth canary: 4 threads streaming-summing disjoint
+    * quarters of a shared 256M-long array (2 GB touched per pass), wall
+    * of the slowest, min of 3. REPORTED-ONLY diagnostic — not part of
+    * the clean mask (yet): round-6 run B measured crawl 4-core
+    * throughput at 40% of an isolated same-binary run minutes later
+    * while BOTH compute canaries (1-thread and 4-thread image codec)
+    * read clean — a host window that throttles memory-bandwidth-heavy
+    * work but not small-working-set compute. This canary targets that
+    * blind spot; it joins the clean rule only once a dirty window
+    * demonstrates it correlates (the same evidence bar the 4-thread
+    * compute canary cleared in round 5 run C).
+    */
+  private lazy val memArr: Array[Long] =
+    Array.tabulate(1 << 28)(i => i * 0x9E3779B97F4A7C15L)
+  private def memCanarySec(): Double =
+    (1 to 3).map { _ =>
+      val n = memArr.length
+      val q = n / 4
+      val sums = new Array[Long](4)
+      val threads = (0 until 4).map(t => new Thread(() => {
+        var s = 0L
+        var i = t * q
+        val end = if (t == 3) n else (t + 1) * q
+        while (i < end) { s += memArr(i); i += 1 }
+        sums(t) = s
+      }))
+      val t0 = System.nanoTime()
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      // fold the sums into the timing object so the loop cannot be
+      // dead-code-eliminated
+      if (sums.sum == 42L) System.err.println("")
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
   /** Fork a fresh JVM for one measurement; parse its RESULT line.
     * Returns the steady-state (largest-batch) fetched rows, fetch wall,
     * and merge wall — small warm-up batches are almost pure per-job
@@ -249,9 +284,11 @@ object Bench {
       }
     val canaries = scala.collection.mutable.ArrayBuffer[Double]()
     val canariesPar = scala.collection.mutable.ArrayBuffer[Double]()
+    val canariesMem = scala.collection.mutable.ArrayBuffer[Double]()
     def takeCanaries(): Unit = {
       canaries += canarySec(CanaryIters)
       canariesPar += canaryParSec(CanaryIters)
+      canariesMem += memCanarySec()
     }
 
     def samplesIn(runs: Seq[(Int, (Long, Double, Double, Double))], c: Int)
@@ -322,6 +359,7 @@ object Bench {
             s""""throughput_samples_4N":${arr(thrOf(samplesIn(allRuns, n4Cpus)))},""" +
             s""""canary_sec":${arr(canaries.toSeq)},""" +
             s""""canary_par_sec":${arr(canariesPar.toSeq)},""" +
+            s""""canary_mem_sec":${arr(canariesMem.toSeq)},""" +
             s""""canary_factor":$CanaryFactor,""" +
             s""""clean_pairs":${cleanMask.zipWithIndex.filter(_._1).map(_._2).mkString("[", ",", "]")},""" +
             s""""updatedb_merge_sec_4N":${medOf(_._3, n4Cpus)},""" +
