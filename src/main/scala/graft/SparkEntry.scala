@@ -27,7 +27,15 @@ object SparkEntry {
   def crawlLoop(spark: SparkSession, dir: String, depth: Int = 2,
       topN: Int = 60): DataFrame = {
     import org.apache.spark.sql.functions._
-    val rootPath = java.nio.file.Files.createTempDirectory("graft-crawl-q")
+    // RAM-backed temp root when present (ScalingRun's rationale: the
+    // crawl tree is many small commit/parquet files and this VM's single
+    // disk adds 2x run-to-run variance to an otherwise compute-bound
+    // query); always deleted in the finally below
+    val shm = new java.io.File("/dev/shm")
+    val rootPath =
+      if (shm.isDirectory && shm.canWrite)
+        java.nio.file.Files.createTempDirectory(shm.toPath, "graft-crawl-q")
+      else java.nio.file.Files.createTempDirectory("graft-crawl-q")
     val root = rootPath.toString
     try {
       val cfg = graft.crawl.WebConfig(numHosts = 8, pagesPerHost = 20,

@@ -138,6 +138,17 @@ class MultimodalSpec extends AnyFunSuite {
     } yield java.lang.Long.bitCount(hashes(a) ^ hashes(b))).min
     assert(minNonPair > 15,
       s"non-dup images too close: min Hamming $minNonPair")
+    // scale plan shape: the only shuffles carry (id, hash, band) — the
+    // image byte payloads must never reach an exchange
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val exchanges = MultimodalOps.imagePhashDup(corpus)
+      .queryExecution.sparkPlan.collect { case e: Exchange => e }
+    assert(exchanges.nonEmpty, "expected banded-join shuffles")
+    exchanges.foreach { e =>
+      assert(!e.output.exists(_.dataType ==
+        org.apache.spark.sql.types.BinaryType),
+        s"byte payload in a shuffle: ${e.output.map(_.name)}")
+    }
     corpus.unpersist()
   }
 
