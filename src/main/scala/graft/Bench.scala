@@ -435,7 +435,7 @@ object Bench {
             s""""cores_N":$nCpus,"cores_4N":$n4Cpus,""" +
             s""""pairs_completed":$done,"pairs_preregistered":$nPairs,""" +
             s""""estimator":"median over ${
-              if (cleanCount >= 1) s"$cleanCount canary-clean (incl crawl-canary mask)" else s"ALL (0 clean)"
+              if (cleanCount >= 1) s"$cleanCount canary-clean (incl steal mask)" else s"ALL (0 clean)"
             } of $done completed pairs ($nPairs pre-registered${
               if (budgetStopped) s"; stopped by the ${budgetSec.toInt}s wall budget" else ""
             }); canary-bracketed; """ +
@@ -483,10 +483,10 @@ object Bench {
         System.err.println(s"[bench] wide run failed: $e"); None }
     emit(artifact(crawlJson(pairRuns.toSeq, budgetStopped, wide),
       partial = false))
-    // hard-exit: run C's JVM lingered ~8 min after the final emission on
-    // stray non-daemon/shutdown-hook threads — dead wall-clock the
-    // driver's timeout cannot tell from a hang. Everything is flushed
-    // and the artifact file is written; nothing left to wait for.
-    sys.exit(0)
+    // hard-exit: run C's JVM lingered ~8 min after the final emission,
+    // and run D showed sys.exit does not help — the stall IS the
+    // shutdown-hook chain, which sys.exit runs. Everything is flushed
+    // and the artifact file is written; halt skips the hooks.
+    Runtime.getRuntime.halt(0)
   }
 }
