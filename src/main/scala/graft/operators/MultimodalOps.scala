@@ -348,6 +348,103 @@ object MultimodalOps {
     imagePhashDup(media).select(col("id_a"), col("id_b"))
   }
 
+  // ------------------------------------------------- video near-dup
+
+  /** Video dup marker: md5 nibbles 13/14 (disjoint from the image
+    * corpus's 11/12 so the two corpora plant independent groups); same
+    * one-level base-lookup rule.
+    */
+  private[operators] def vdupMarked(i: Long): Boolean =
+    hv(i, 13) % 4 == 3 && i - 1 - hv(i, 14) % 8 >= 0
+
+  private[operators] def vdupBaseOf(i: Long): Option[Long] =
+    if (!vdupMarked(i)) None
+    else {
+      val b = i - 1 - hv(i, 14) % 8
+      if (vdupMarked(b)) None else Some(b)
+    }
+
+  /** Video corpus with planted near-duplicates: a dup-marked id
+    * re-renders its BASE's frames (base seed, frame count, dims) with a
+    * +4 brightness shift — a re-encoded copy of the same clip. Frames
+    * use the cell-pattern pixels for the same hash-margin reasons as the
+    * image corpus.
+    */
+  def syntheticVideoDupCorpus(spark: SparkSession, n: Int)
+      : Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val src: Long = vdupBaseOf(i).getOrElse(i)
+      val nFrames = 2 + hv(src, 7) % 5
+      val w = 16 + (hv(src, 2) * 16 + hv(src, 3)) % 33
+      val h = 16 + (hv(src, 4) * 16 + hv(src, 5)) % 33
+      val bright = if (src != i) 4 else 0
+      val frames = (0 until nFrames).map { f =>
+        val px = cellPatternPixels(
+          graft.core.XxHash64.hashLong(src * 31L + f, 13L), w, h, bright)
+        ImageCodec.encode(px, w, h, "jpeg")
+      }
+      MediaRow(i, "video", MediaCodec.renderMjpegAvi(frames, w, h),
+        "mjpeg-avi")
+    }
+  }
+
+  /** Video near-duplicate pairs: demux each AVI, phash every frame
+    * (narrow mapPartitions), band each FRAME hash with the frame index
+    * folded into the bucket key — candidate videos must match a band at
+    * the SAME frame position (re-encoded copies are frame-aligned; a
+    * shifted copy is a different recall problem) — then verify that a
+    * MAJORITY of frame positions agree within `maxHamming` bits.
+    *
+    * 100 TB shape: shuffles carry (video_id, frame_idx, hash, band)
+    * rows only — never AVI payloads; candidate pair mass is bounded by
+    * band-bucket occupancy exactly like the image/simhash paths, and
+    * the majority verify is one groupBy over the candidates' matched
+    * frames (a frame pair can match in several bands — dropDuplicates
+    * before counting, or a video with B band-collisions per frame would
+    * count one frame B times toward the majority).
+    */
+  def videoPhashDup(media: Dataset[MediaRow], maxHamming: Int = 10)
+      : DataFrame = {
+    import media.sparkSession.implicits._
+    val frames = media.filter(_.kind == "video").flatMap { r =>
+      MediaCodec.parseAviFrames(r.bytes).zipWithIndex.map {
+        case (fb, idx) => (r.media_id, idx, ImageCodec.phashOfBytes(fb))
+      }
+    }.toDF("vid", "frame_idx", "ph")
+    val nFrames = frames.groupBy(col("vid"))
+      .agg(count(lit(1)).as("n_frames"))
+    val banded = frames.select(col("vid"), col("frame_idx"), col("ph"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("ph"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    val a = banded.select(col("frame_idx"), col("band"), col("bkey"),
+      col("vid").as("id_a"), col("ph").as("ph_a"))
+    val b = banded.select(col("frame_idx"), col("band"), col("bkey"),
+      col("vid").as("id_b"), col("ph").as("ph_b"))
+    val matched = a.join(b, Seq("frame_idx", "band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("frame_idx"),
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).as("hamming"))
+      .dropDuplicates("id_a", "id_b", "frame_idx")
+      .filter(col("hamming") <= maxHamming)
+    matched.groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_matched"))
+      .join(nFrames.withColumnRenamed("vid", "id_a")
+        .withColumnRenamed("n_frames", "nf_a"), Seq("id_a"))
+      .filter(col("n_matched") * 2 > col("nf_a"))
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** Driver-facing query: planted video near-dup pairs recovered from
+    * real demuxed bytes; the oracle derives the pair set from the md5
+    * formula (same group-pair construction as q_image_phash_dup).
+    */
+  def videoPhashDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val media = syntheticVideoDupCorpus(spark, 300)
+    videoPhashDup(media)
+  }
+
   /** The md5-nibble spec formula, expressed in DuckDB SQL (hv(k) =
     * instr('0123456789abcdef', substr(md5(i), k, 1)) - 1).
     */
@@ -405,11 +502,26 @@ object MultimodalOps {
         "members AS (SELECT DISTINCT rb AS grp, rb AS id FROM d " +
         "UNION SELECT rb, i FROM d) " +
         "SELECT a.id AS id_a, b.id AS id_b FROM members a " +
+        "JOIN members b ON a.grp = b.grp AND a.id < b.id"),
+    // video group pairs from the vdup formula (nibbles 13/14, n=300)
+    "q_video_phash_dup" ->
+      ("WITH m AS (SELECT i, " +
+        "instr('0123456789abcdef', substr(md5(CAST(i AS VARCHAR)), 13, 1)) - 1 AS h13, " +
+        "instr('0123456789abcdef', substr(md5(CAST(i AS VARCHAR)), 14, 1)) - 1 AS h14 " +
+        "FROM range(300) t(i)), " +
+        "d AS (SELECT a.i, a.i - 1 - a.h14 % 8 AS rb FROM m a " +
+        "JOIN m b ON b.i = a.i - 1 - a.h14 % 8 " +
+        "WHERE a.h13 % 4 = 3 AND a.i - 1 - a.h14 % 8 >= 0 " +
+        "AND NOT (b.h13 % 4 = 3 AND b.i - 1 - b.h14 % 8 >= 0)), " +
+        "members AS (SELECT DISTINCT rb AS grp, rb AS id FROM d " +
+        "UNION SELECT rb, i FROM d) " +
+        "SELECT a.id AS id_a, b.id AS id_b FROM members a " +
         "JOIN members b ON a.grp = b.grp AND a.id < b.id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_stats" -> (mediaStats _),
     "q_audio_stats" -> (audioStats _),
     "q_video_stats" -> (videoStats _),
-    "q_image_phash_dup" -> (imagePhashDupPairs _))
+    "q_image_phash_dup" -> (imagePhashDupPairs _),
+    "q_video_phash_dup" -> (videoPhashDupPairs _))
 }

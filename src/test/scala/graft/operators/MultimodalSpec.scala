@@ -138,16 +138,52 @@ class MultimodalSpec extends AnyFunSuite {
     } yield java.lang.Long.bitCount(hashes(a) ^ hashes(b))).min
     assert(minNonPair > 15,
       s"non-dup images too close: min Hamming $minNonPair")
-    // scale plan shape: the only shuffles carry (id, hash, band) — the
-    // image byte payloads must never reach an exchange
+    // scale plan shape: the only exchanges carry (id, hash, band) — the
+    // image byte payloads must never reach one. Exchanges are inserted
+    // by EnsureRequirements, so read executedPlan; AQE off for the plan
+    // build or the adaptive wrapper hides the children from collect
     import org.apache.spark.sql.execution.exchange.Exchange
-    val exchanges = MultimodalOps.imagePhashDup(corpus)
-      .queryExecution.sparkPlan.collect { case e: Exchange => e }
-    assert(exchanges.nonEmpty, "expected banded-join shuffles")
-    exchanges.foreach { e =>
-      assert(!e.output.exists(_.dataType ==
-        org.apache.spark.sql.types.BinaryType),
-        s"byte payload in a shuffle: ${e.output.map(_.name)}")
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val exchanges = MultimodalOps.imagePhashDup(corpus)
+        .queryExecution.executedPlan.collect { case e: Exchange => e }
+      assert(exchanges.nonEmpty, "expected banded-join exchanges")
+      exchanges.foreach { e =>
+        assert(!e.output.exists(_.dataType ==
+          org.apache.spark.sql.types.BinaryType),
+          s"byte payload in a shuffle: ${e.output.map(_.name)}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    corpus.unpersist()
+  }
+
+  test("video phash near-dup: majority-of-frames rule recovers exactly " +
+    "the planted pairs from real demuxed bytes") {
+    val corpus = MultimodalOps.syntheticVideoDupCorpus(spark, 300).cache()
+    val groups = (0L until 300L).flatMap(i =>
+      MultimodalOps.vdupBaseOf(i).map(b => (b, i)))
+      .groupBy(_._1).map { case (b, ds) => b +: ds.map(_._2) }
+    val expected = groups.flatMap(g =>
+      g.combinations(2).map(p => (p.min, p.max))).toSet
+    assert(expected.size >= 15, s"corpus planted only ${expected.size} pairs")
+    val got = MultimodalOps.videoPhashDup(corpus)
+      .as[(Long, Long)].collect().toSet
+    assert(got === expected)
+    // dup pairs must agree on EVERY frame position, not just a majority
+    // (both sides render the same seed/frame count; only brightness and
+    // jpeg quantization differ) — verifies frame alignment end-to-end
+    val frameHashes = corpus.collect().map { r =>
+      r.media_id -> graft.crawl.MediaCodec.parseAviFrames(r.bytes)
+        .map(graft.crawl.ImageCodec.phashOfBytes).toArray
+    }.toMap
+    expected.foreach { case (a, b) =>
+      val (fa, fb) = (frameHashes(a), frameHashes(b))
+      assert(fa.length === fb.length, s"frame count mismatch ($a,$b)")
+      fa.indices.foreach { i =>
+        val hd = java.lang.Long.bitCount(fa(i) ^ fb(i))
+        assert(hd <= 3, s"pair ($a,$b) frame $i drifted to $hd bits")
+      }
     }
     corpus.unpersist()
   }
