@@ -213,7 +213,21 @@ object MultimodalOps {
   def audioStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val media = syntheticMedia(spark, 400, only = Set("audio"))
-    audioFeatures(media)
+    // Round-7: parse-only path. audioFeatures computes RMS/ZCR and the
+    // full MFCC stack (FFT + mel + DCT) per clip, but this query projects
+    // only rate and duration — and mapPartitions is opaque to Spark, so
+    // column pruning cannot remove that work (guide §4: select only what
+    // the opaque fn needs). Same parse, same emitted values, no feature
+    // math.
+    media.filter(_.kind == "audio").mapPartitions { rows =>
+      rows.flatMap { r =>
+        try {
+          val w = MediaCodec.parseWav(r.bytes)
+          Some((r.media_id, w.sampleRate,
+            w.samples.length.toDouble / (w.sampleRate * w.channels)))
+        } catch { case _: IllegalArgumentException => None }
+      }
+    }.toDF("media_id", "sample_rate", "duration_sec")
       .select(col("media_id"), col("sample_rate"),
         round(col("duration_sec"), 4).as("dur_sec"))
   }

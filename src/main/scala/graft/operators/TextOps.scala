@@ -330,13 +330,20 @@ object TextOps {
     */
   def boilerplateNgrams(s: SparkSession, dir: String, n: Int = 2,
       minDocs: Int = 5): DataFrame = {
-    val words = tokensCol(col("text"))
-    val nSegs = floor(size(words) / n).cast("int")
+    // Round-7: materialize the token array ONCE per row in its own
+    // projection. The previous form referenced `tokensCol(text)` inside
+    // the transform() lambda, and Spark evaluates lambda bodies per
+    // element without hoisting loop invariants — split+filter re-ran per
+    // SEGMENT, O(tokens^2) per document (driver-measured 18 s at sf0.1;
+    // linear form ~1 s). CollapseProject keeps the two projections
+    // separate because `ws` is referenced more than once.
+    val nSegs = floor(size(col("ws")) / n).cast("int")
     val segs = when(nSegs > 0,
       transform(sequence(lit(0), nSegs - 1),
-        i => array_join(slice(words, i * n + lit(1), lit(n)), " ")))
+        i => array_join(slice(col("ws"), i * n + lit(1), lit(n)), " ")))
       .otherwise(array())
     docs(s, dir)
+      .select(col("doc_id"), tokensCol(col("text")).as("ws"))
       .select(col("doc_id"), explode(segs).as("seg"))
       .groupBy(col("seg"))
       .agg(countDistinct(col("doc_id")).as("n_docs"))
