@@ -228,7 +228,35 @@ object SimilarityOps {
       bucketCap: Int = 512): DataFrame = {
     import s.implicits._
     val e = emb(s, dir).select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    // Round-7 pre-filter: only buckets CONTAINING a query can emit rows
+    // (flatMapGroups yields nothing when `queries` is empty), so compute
+    // the |Q| x nTables query bucket keys driver-side — the same planes
+    // and fold order as toVecBuckets — and drop every other bucket
+    // BEFORE the shuffle. The 8-table explode shipped the full vector
+    // payload of all 8|N| membership rows; now only rows colliding with
+    // a query bucket shuffle. Output unchanged: the filter keeps or
+    // drops whole (tbl, bucket) groups, never individual members.
+    val planesQ = Array.tabulate(nTables * planesPerTable)(p =>
+      hyperplane(p, dim))
+    val queryBuckets: Set[Long] = emb(s, dir)
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .as[(Long, Array[Double])].collect()
+      .flatMap { case (_, v) =>
+        (0 until nTables).map { t =>
+          var bucket = 0L
+          var p = 0
+          while (p < planesPerTable) {
+            bucket = bucket * 2 +
+              (if (dotArr(v, planesQ(t * planesPerTable + p)) >= 0) 1L else 0L)
+            p += 1
+          }
+          (t.toLong << 32) | bucket
+        }
+      }.toSet
+    val qbBc = s.sparkContext.broadcast(queryBuckets)
     val bucketed = toVecBuckets(e, nTables, planesPerTable, dim)
+      .filter(r => qbBc.value.contains((r.tbl.toLong << 32) | r.bucket))
     // pair scoring inside the bucket group at JVM speed: clustered data
     // makes LSH buckets genuinely dense, so the candidate volume is
     // millions of pairs — Catalyst array element access was an ~80x
@@ -348,24 +376,48 @@ object SimilarityOps {
         .sortBy { case (d, c) => (-d, c) }.take(n).map(_._2)
     }
 
-    val cells = e.as[(Long, Array[Double])].map { case (id, v) =>
-      (nearestCells(v, 1).head, id, v, math.sqrt(dotArr(v, v)))
-    }.toDF("cell", "vec_id", "v", "nrm")
-    val probes = e.as[(Long, Array[Double])]
-      .filter(_._1 < nQueries)
-      .flatMap { case (id, v) =>
-        val nrm = math.sqrt(dotArr(v, v))
-        nearestCells(v, nProbe).map(c => (c, id, v, nrm))
-      }.toDF("cell", "query_id", "qv", "qnrm")
-
-    val scored = cells.join(broadcast(probes), Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        round(dot(col("v"), col("qv"), dim) / (col("nrm") * col("qnrm")), 4)
-          .as("sim"))
+    // Round-7: the probe side is |Q| rows — collect it driver-side, key
+    // the probes by cell in a broadcast map, and score candidates in a
+    // partition-local JVM loop with per-partition top-k (TopK). The
+    // previous broadcast JOIN carried the 64-double query vector per
+    // candidate row and scored through an unrolled Catalyst dot (the
+    // interpreted-eval hot spot q_cosine_topk had); this computes the
+    // identical rounded sims (same summation order, Catalyst round
+    // semantics) with one narrow scan and a tiny window input.
+    val probesByCell: Map[Int, Array[(Long, Array[Double], Double)]] =
+      e.filter(col("vec_id") < nQueries)
+        .as[(Long, Array[Double])].collect()
+        .sortBy(_._1)
+        .flatMap { case (id, v) =>
+          val nrm = math.sqrt(dotArr(v, v))
+          nearestCells(v, nProbe).map(c => (c, (id, v, nrm)))
+        }
+        .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
+    val pBc = s.sparkContext.broadcast(probesByCell)
+    val scoredPartial = e.as[(Long, Array[Double])].mapPartitions { it =>
+      val byCell = pBc.value
+      val heaps = scala.collection.mutable.LongMap[TopK]()
+      it.foreach { case (id, v) =>
+        val cell = nearestCells(v, 1).head
+        byCell.get(cell).foreach { probes =>
+          val nrm = math.sqrt(dotArr(v, v))
+          var i = 0
+          while (i < probes.length) {
+            val (qid, qv, qnrm) = probes(i)
+            if (id != qid)
+              heaps.getOrElseUpdate(qid, new TopK(k))
+                .add(roundHalfUp4(dotArr(v, qv) / (nrm * qnrm)), id)
+            i += 1
+          }
+        }
+      }
+      heaps.iterator.flatMap { case (qid, h) =>
+        h.result.map { case (id, sim) => (qid, id, sim) }
+      }
+    }.toDF("query_id", "vec_id", "sim")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id").asc)
-    scored.withColumn("rn", row_number().over(w))
+    scoredPartial.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("vec_id"), col("sim"), col("rn"))
   }
@@ -486,50 +538,86 @@ object SimilarityOps {
         best.toByte
       }
 
-    // the compressed index: this is ALL the corpus-sized state PQ keeps
-    val codes = e.as[(Long, Array[Double])].map { case (id, v) =>
-      val u = unit(v)
-      (cellOf(u), id, encode(u))
-    }.toDF("cell", "vec_id", "codes")
-
-    // per-query ADC tables (tiny: |Q| × m × kCodes doubles) + probes
-    val probes = e.as[(Long, Array[Double])]
-      .filter(_._1 < nQueries)
-      .flatMap { case (id, v) =>
+    // Round-7: the probe side is |Q| rows — collect the queries driver-
+    // side, build the per-query ADC tables there, and broadcast them
+    // keyed by probe cell. The previous broadcast JOIN shipped the m x
+    // kCodes ADC table (4 KB) PER CANDIDATE ROW through the join and the
+    // Dataset encoder — candidate-count x 4 KB of pure serialization.
+    // Scoring fuses cell assignment + encoding + ADC into one narrow
+    // mapPartitions with per-partition top-(k*rerank) pruning; identical
+    // arithmetic, no per-row table payload.
+    val queriesArr = e.filter(col("vec_id") < nQueries)
+      .as[(Long, Array[Double])].collect()
+      .sortBy(_._1)
+    val probesByCell: Map[Int, Array[(Long, Array[Array[Double]])]] =
+      queriesArr
+        .flatMap { case (id, v) =>
+          val u = unit(v)
+          val table = Array.tabulate(m, kEff)((j, c) =>
+            dotArr(u.slice(j * subDim, (j + 1) * subDim), codebooks(j)(c)))
+          centroids.indices.map(c => (dotArr(u, centroids(c)), c))
+            .sortBy { case (d, c) => (-d, c) }.take(nProbe)
+            .map { case (_, c) => (c, (id, table)) }
+        }
+        .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
+    val pBc = s.sparkContext.broadcast(probesByCell)
+    val candidatesPartial = e.as[(Long, Array[Double])].mapPartitions { it =>
+      val byCell = pBc.value
+      val heaps = scala.collection.mutable.LongMap[TopK]()
+      it.foreach { case (id, v) =>
         val u = unit(v)
-        val table = Array.tabulate(m, kEff)((j, c) =>
-          dotArr(u.slice(j * subDim, (j + 1) * subDim), codebooks(j)(c)))
-        centroids.indices.map(c => (dotArr(u, centroids(c)), c))
-          .sortBy { case (d, c) => (-d, c) }.take(nProbe)
-          .map { case (_, c) => (c, id, table.map(_.toSeq).toSeq) }
-      }.toDF("cell", "query_id", "table")
-
-    val candidates = codes.join(broadcast(probes), Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), col("codes"), col("table"))
-      .as[(Long, Long, Array[Byte], Seq[Seq[Double]])]
-      .map { case (qid, vid, cs, table) =>
-        var adc = 0.0
-        var j = 0
-        while (j < m) { adc += table(j)(cs(j) & 0xff); j += 1 }
-        (qid, vid, adc)
-      }.toDF("query_id", "vec_id", "adc")
+        byCell.get(cellOf(u)).foreach { probes =>
+          val cs = encode(u)
+          var i = 0
+          while (i < probes.length) {
+            val (qid, table) = probes(i)
+            if (id != qid) {
+              var adc = 0.0
+              var j = 0
+              while (j < m) { adc += table(j)(cs(j) & 0xff); j += 1 }
+              heaps.getOrElseUpdate(qid, new TopK(k * rerank)).add(adc, id)
+            }
+            i += 1
+          }
+        }
+      }
+      heaps.iterator.flatMap { case (qid, h) =>
+        h.result.map { case (id, adc) => (qid, id, adc) }
+      }
+    }.toDF("query_id", "vec_id", "adc")
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("vec_id").asc)
-    val shortlist = candidates.withColumn("rn", row_number().over(wAdc))
+    val shortlist = candidatesPartial.withColumn("rn", row_number().over(wAdc))
       .filter(col("rn") <= k * rerank)
       .select(col("query_id"), col("vec_id"))
 
-    // exact rerank of the |Q|·rerank·k shortlist only
-    val queries = e.as[(Long, Array[Double])].filter(_._1 < nQueries)
-      .map { case (id, v) => (id, v, math.sqrt(dotArr(v, v))) }
-      .toDF("query_id", "qv", "qnrm")
-    val exact = e.withColumn("nrm", sqrt(dot(col("v"), col("v"), dim)))
-      .join(broadcast(shortlist), Seq("vec_id"))
-      .join(broadcast(queries), Seq("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        round(dot(col("v"), col("qv"), dim) / (col("nrm") * col("qnrm")), 4)
-          .as("sim"))
+    // exact rerank of the |Q|·rerank·k shortlist only: the pair list is
+    // tiny (collected + broadcast), so the raw vectors are touched in one
+    // narrow scan instead of a Catalyst norm Project over the whole table
+    // feeding two broadcast joins
+    val shortlistPairs: Map[Long, Array[Long]] = shortlist
+      .as[(Long, Long)].collect()
+      .groupBy(_._2).map { case (vid, xs) => vid -> xs.map(_._1) }
+    val slBc = s.sparkContext.broadcast(shortlistPairs)
+    val queriesByIdArr = queriesArr.map { case (id, v) =>
+      (id, (v, math.sqrt(dotArr(v, v))))
+    }.toMap
+    val qBc = s.sparkContext.broadcast(queriesByIdArr)
+    val exact = e.as[(Long, Array[Double])].mapPartitions { it =>
+      val sl = slBc.value
+      val qs = qBc.value
+      it.flatMap { case (id, v) =>
+        sl.get(id) match {
+          case Some(qids) =>
+            val nrm = math.sqrt(dotArr(v, v))
+            qids.iterator.map { qid =>
+              val (qv, qnrm) = qs(qid)
+              (qid, id, roundHalfUp4(dotArr(v, qv) / (nrm * qnrm)))
+            }
+          case None => Iterator.empty
+        }
+      }
+    }.toDF("query_id", "vec_id", "sim")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id").asc)
     exact.withColumn("rn", row_number().over(w))
