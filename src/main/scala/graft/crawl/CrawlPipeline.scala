@@ -215,12 +215,22 @@ final class CrawlPipeline(
     */
   private def observedCounts(obs: org.apache.spark.sql.Observation)
       : Option[Map[String, Long]] =
-    try {
-      val row = scala.concurrent.Await.result(obs.future,
-        scala.concurrent.duration.Duration(30, "s"))
-      Some(row.getAs[scala.collection.Map[String, Long]]("bucketCounts")
-        .toMap)
-    } catch {
+    observedRow(obs).map(
+      _.getAs[scala.collection.Map[String, Long]]("bucketCounts").toMap)
+
+  /** Resolve an observation row (30 s guard against a lost listener
+    * event — same rationale as observedCounts). Round-7: every stage's
+    * commit counts now ride the stage's own write job via observe()
+    * instead of a post-write read-back action; locally that removes one
+    * Spark job per stage, at scale it removes a re-scan of bytes the
+    * stage just wrote.
+    */
+  private def observedRow(obs: org.apache.spark.sql.Observation)
+      : Option[org.apache.spark.sql.Row] =
+    try
+      Some(scala.concurrent.Await.result(obs.future,
+        scala.concurrent.duration.Duration(30, "s")))
+    catch {
       case _: java.util.concurrent.TimeoutException => None
     }
 
@@ -267,6 +277,13 @@ final class CrawlPipeline(
     */
   private def latestOf(frames: Seq[org.apache.spark.sql.DataFrame])
       : Dataset[CrawlRow] = {
+    // single-frame fold is the identity: every delta is written as
+    // `changed union newRows` — changed rows exist in the frontier, new
+    // rows do not, and each side is unique by urlHash — so the
+    // dedup window (a full shuffle of the delta) only matters across
+    // frames. With compactEvery=1 every compaction folds exactly one
+    // frame; skipping the no-op window removes one exchange per batch.
+    if (frames.lengthCompare(1) == 0) return frames.head.as[CrawlRow]
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("urlHash")).orderBy(col("_dseq").desc)
     frames.zipWithIndex
@@ -477,13 +494,16 @@ final class CrawlPipeline(
     val path = s"$root/batches/$batchId/fetchlist"
     val t0 = System.nanoTime()
     // limit() collapses to one partition; spread the fetchlist by host so
-    // the fetch stage's shuffle-write side is parallel, not one task
-    listFinal.repartition(numBuckets, col("host"))
+    // the fetch stage's shuffle-write side is parallel, not one task.
+    // Counts observe() the write itself — no read-back count job.
+    val (observed, obs) = observeBucketCounts(listFinal)
+    observed.repartition(numBuckets, col("host"))
       .write.mode(SaveMode.Overwrite).parquet(path)
     val generateWallMs = (System.nanoTime() - t0) / 1e6
     val out = spark.read.parquet(path).as[CrawlRow]
-    val counts = out.groupBy("bucket").count().as[(Int, Long)].collect()
-      .map { case (b, c) => b.toString -> c }.toMap
+    val counts = observedCounts(obs).getOrElse(
+      out.groupBy("bucket").count().as[(Int, Long)].collect()
+        .map { case (b, c) => b.toString -> c }.toMap)
     commitStage(log.nextSeq(), batchId, "generate",
       lastState().map(_.frontierPath).getOrElse(""), counts, now,
       metrics = Map("generateWallMs" -> generateWallMs))
@@ -719,13 +739,20 @@ final class CrawlPipeline(
     // content bytes are jpeg/png/gzip — already entropy-coded; parquet
     // snappy on top is pure CPU/allocation overhead on the widest write,
     // and dictionary-encoding unique binaries is wasted hashing
-    results.write.mode(SaveMode.Overwrite)
+    val obsF = org.apache.spark.sql.Observation()
+    results.observe(obsF, count(lit(1)).as("n"),
+        max(col("fetchEnd")).as("maxEnd"))
+      .write.mode(SaveMode.Overwrite)
       .option("compression", "uncompressed")
       .option("parquet.enable.dictionary", "false").parquet(path)
     val fetchWallMs = (System.nanoTime() - t0) / 1e6
     val out = spark.read.parquet(path).as[FetchResult]
-    val (n, maxEnd) = out.agg(count(lit(1)), max(col("fetchEnd")))
-      .as[(Long, Long)].head()
+    val (n, maxEnd) = observedRow(obsF)
+      .map(r => (r.getAs[Long]("n"),
+        Option(r.getAs[java.lang.Long]("maxEnd")).map(_.toLong)
+          .getOrElse(0L)))
+      .getOrElse(out.agg(count(lit(1)), max(col("fetchEnd")))
+        .as[(Long, Long)].head())
     val vWall = maxEnd - now
     commitStage(log.nextSeq(), batchId, "fetch", path,
       Map("all" -> n), now,
@@ -771,11 +798,14 @@ final class CrawlPipeline(
     }
     val path = s"$root/batches/$batchId/parsed"
     val t0 = System.nanoTime()
-    out.write.mode(SaveMode.Overwrite).parquet(path)
+    val obsP = org.apache.spark.sql.Observation()
+    out.observe(obsP, count(lit(1)).as("n"))
+      .write.mode(SaveMode.Overwrite).parquet(path)
     val parseWallMs = (System.nanoTime() - t0) / 1e6
     val res = spark.read.parquet(path).as[ParsedPage]
+    val n = observedRow(obsP).map(_.getAs[Long]("n")).getOrElse(res.count())
     commitStage(log.nextSeq(), batchId, "parse", path,
-      Map("all" -> res.count()), now, Map("parseWallMs" -> parseWallMs))
+      Map("all" -> n), now, Map("parseWallMs" -> parseWallMs))
     res
   }
 
@@ -801,11 +831,14 @@ final class CrawlPipeline(
           ImageCodec.phash(px, w, h), r.urlHash, batchId)
       }
     val path = s"$root/batches/$batchId/payload"
-    out.write.mode(SaveMode.Overwrite)
+    val obsY = org.apache.spark.sql.Observation()
+    out.observe(obsY, count(lit(1)).as("n"))
+      .write.mode(SaveMode.Overwrite)
       .option("compression", "uncompressed").parquet(path) // encoded bytes
     val res = spark.read.parquet(path).as[PayloadRow]
+    val n = observedRow(obsY).map(_.getAs[Long]("n")).getOrElse(res.count())
     commitStage(log.nextSeq(), batchId, "payload", path,
-      Map("all" -> res.count()), now)
+      Map("all" -> n), now)
     res
   }
 
@@ -1066,8 +1099,10 @@ final class CrawlPipeline(
     // refine) — both key sets are topN-bounded, so `touched` is a
     // broadcast semi-join against the frontier scan and the merge output
     // is delta-sized, not frontier-sized.
+    // no distinct(): a LEFT SEMI join is set-semantic on the build side
+    // already — the dedup was one pure-overhead exchange per batch
     val touchedKeys = outcomes.select(col("urlHash"))
-      .union(discDist.select(col("urlHash"))).distinct()
+      .union(discDist.select(col("urlHash")))
     val touched = frontier
       .join(broadcast(touchedKeys), Seq("urlHash"), "left_semi")
       .as[CrawlRow]
@@ -1371,11 +1406,14 @@ final class CrawlPipeline(
         res
       }
     val path = s"$root/hostdb/$batchId"
-    out.write.mode(SaveMode.Overwrite).parquet(path)
+    val obsH = org.apache.spark.sql.Observation()
+    out.observe(obsH, count(lit(1)).as("n"))
+      .write.mode(SaveMode.Overwrite).parquet(path)
     pairsCache.foreach(_.unpersist())
     val res = spark.read.parquet(path).as[HostRow]
+    val n = observedRow(obsH).map(_.getAs[Long]("n")).getOrElse(res.count())
     commitStage(log.nextSeq(), batchId, "hostdb", path,
-      Map("all" -> res.count()), now)
+      Map("all" -> n), now)
     res
   }
 
