@@ -176,29 +176,84 @@ object Dedup {
     out
   }
 
+  /** All (id_a < id_b) pairs whose 64-bit hashes lie within `maxHamming`
+    * Hamming bits, via 4x16-bit banding — with an EXACT-DUPLICATE
+    * PRE-PASS as the hot-bucket guard (round-7; guide §2.5 skew): only
+    * DISTINCT hashes enter the banded self-join, so a platform corpus
+    * with 10^6 identical logos/boilerplate pages contributes ONE banded
+    * row instead of an O(n^2) bucket in every band. Pairs among exact
+    * duplicates (hamming 0) and the member expansion of near-dup hash
+    * pairs are reconstructed with output-bounded joins afterwards —
+    * the result set is identical (band recall is a function of the hash
+    * pair alone, and every member of a hash group shares its hashes'
+    * bands).
+    *
+    * `extraKeys` are additional alignment columns (e.g. a frame index)
+    * that must match for rows to pair; they ride the band keys and the
+    * expansion joins.
+    */
+  private[operators] def bandedHammingPairs(hashes: DataFrame, idCol: String,
+      hCol: String, maxHamming: Int, extraKeys: Seq[String] = Nil)
+      : DataFrame = {
+    val keyCols = extraKeys.map(col)
+    // persisted: the guard consumes the hash table from five branches
+    // (distinct, both expansion sides, both intra sides) — without it the
+    // upstream hash computation (a simhash UDF or an image/frame decode)
+    // re-runs per branch. The cached row is (keys, h, id) — narrow at any
+    // corpus size, and always cheaper than recomputing payload decodes.
+    val members = hashes.select(
+      keyCols ++ Seq(col(hCol).as("h"), col(idCol).as("id")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val distinctH = members.select(keyCols :+ col("h"): _*).distinct()
+    val banded = distinctH.select(
+      keyCols ++ Seq(col("h"), posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("h"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))): _*)
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    val a = banded.select(
+      keyCols ++ Seq(col("band"), col("bkey"), col("h").as("h_a")): _*)
+    val b = banded.select(
+      keyCols ++ Seq(col("band"), col("bkey"), col("h").as("h_b")): _*)
+    val hashPairs = a.join(b, extraKeys ++ Seq("band", "bkey"))
+      .filter(col("h_a") < col("h_b"))
+      .select(keyCols ++ Seq(col("h_a"), col("h_b")): _*)
+      .dropDuplicates(extraKeys ++ Seq("h_a", "h_b"))
+      .withColumn("hamming",
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .filter(col("hamming") <= maxHamming)
+    val inter = hashPairs
+      .join(members.select(
+        keyCols ++ Seq(col("h").as("h_a"), col("id").as("ia")): _*),
+        extraKeys :+ "h_a")
+      .join(members.select(
+        keyCols ++ Seq(col("h").as("h_b"), col("id").as("ib")): _*),
+        extraKeys :+ "h_b")
+      .select(Seq(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"),
+        col("hamming")) ++ keyCols: _*)
+    val intra = members
+      .select(keyCols ++ Seq(col("h"), col("id").as("ia")): _*)
+      .join(members.select(
+        keyCols ++ Seq(col("h"), col("id").as("ib")): _*),
+        extraKeys :+ "h")
+      .filter(col("ia") < col("ib"))
+      .select(Seq(col("ia").as("id_a"), col("ib").as("id_b"),
+        lit(0).as("hamming")) ++ keyCols: _*)
+    inter.unionByName(intra)
+  }
+
   /** SimHash near-dup pairs: 4 bands of 16 bits as bucket keys (any pair
     * within Hamming distance <= 3 of a 64-bit hash shares at least one of
     * 4 bands by pigeonhole... for distance <= 3 across 4 bands), verified
-    * with bit_count(xor) <= maxHamming.
+    * with bit_count(xor) <= maxHamming. Banding runs over distinct
+    * hashes via [[bandedHammingPairs]] (hot-bucket guard).
     */
   def simHashPairs(s: SparkSession, dir: String, maxHamming: Int = 3)
       : DataFrame = {
     val shUdf = udf(simHash _)
     val d = docs(s, dir).select(col("doc_id"), shUdf(col("text")).as("sh"))
-    val banded = d.select(col("doc_id"), col("sh"),
-      posexplode(array((0 until 4).map(b =>
-        shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
-    val a = banded.select(col("band"), col("bkey"), col("doc_id").as("doc_a"),
-      col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bkey"), col("doc_id").as("doc_b"),
-      col("sh").as("sh_b"))
-    a.join(b, Seq("band", "bkey"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
-      .dropDuplicates("doc_a", "doc_b")
-      .filter(col("hamming") <= maxHamming)
+    bandedHammingPairs(d, "doc_id", "sh", maxHamming)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        col("hamming"))
   }
 
   /** Connected components over an undirected edge list by alternating

@@ -334,20 +334,11 @@ object MultimodalOps {
     val hashes = media.filter(_.kind == "image").mapPartitions { rows =>
       rows.map(r => (r.media_id, ImageCodec.phashOfBytes(r.bytes)))
     }.toDF("media_id", "ph")
-    val banded = hashes.select(col("media_id"), col("ph"),
-      posexplode(array((0 until 4).map(b =>
-        shiftrightunsigned(col("ph"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
-    val a = banded.select(col("band"), col("bkey"),
-      col("media_id").as("id_a"), col("ph").as("ph_a"))
-    val b = banded.select(col("band"), col("bkey"),
-      col("media_id").as("id_b"), col("ph").as("ph_b"))
-    a.join(b, Seq("band", "bkey"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).as("hamming"))
-      .dropDuplicates("id_a", "id_b")
-      .filter(col("hamming") <= maxHamming)
+    // round-7 hot-bucket guard: banding over DISTINCT hashes (exact-dup
+    // pre-pass + output-bounded member expansion, Dedup.bandedHammingPairs)
+    // — the uncapped-bucket caveat under exact-duplicate skew is closed
+    Dedup.bandedHammingPairs(hashes, "media_id", "ph", maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
   /** Driver-facing query: planted near-dup pairs recovered from real
@@ -428,20 +419,14 @@ object MultimodalOps {
     }.toDF("vid", "frame_idx", "ph")
     val nFrames = frames.groupBy(col("vid"))
       .agg(count(lit(1)).as("n_frames"))
-    val banded = frames.select(col("vid"), col("frame_idx"), col("ph"),
-      posexplode(array((0 until 4).map(b =>
-        shiftrightunsigned(col("ph"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
-    val a = banded.select(col("frame_idx"), col("band"), col("bkey"),
-      col("vid").as("id_a"), col("ph").as("ph_a"))
-    val b = banded.select(col("frame_idx"), col("band"), col("bkey"),
-      col("vid").as("id_b"), col("ph").as("ph_b"))
-    val matched = a.join(b, Seq("frame_idx", "band", "bkey"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("frame_idx"),
-        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).as("hamming"))
-      .dropDuplicates("id_a", "id_b", "frame_idx")
-      .filter(col("hamming") <= maxHamming)
+    // round-7 hot-bucket guard: banding over DISTINCT (frame_idx, hash)
+    // rows — identical frame-aligned pair set, but an exact-duplicate
+    // clip family contributes one banded row per frame position instead
+    // of an O(n^2) bucket (Dedup.bandedHammingPairs with frame_idx as
+    // the alignment key)
+    val matched = Dedup.bandedHammingPairs(frames, "vid", "ph", maxHamming,
+      extraKeys = Seq("frame_idx"))
+      .select(col("id_a"), col("id_b"), col("frame_idx"), col("hamming"))
     matched.groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_matched"))
       .join(nFrames.withColumnRenamed("vid", "id_a")
