@@ -1379,23 +1379,40 @@ final class CrawlPipeline(
           .agg(count(lit(1)).as("links"))
           .persist() // feeds both histogram directions
         pairsCache = Some(pairs)
-        def topK(keyCol: String, valCol: String, outName: String) = {
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(col(keyCol))
-            .orderBy(col("links").desc, col(valCol).asc)
-          pairs
-            .withColumn("rn", row_number().over(w))
-            .filter(col("rn") <= hostLinkTopK)
-            .groupBy(col(keyCol).as("host"))
-            .agg(map_from_arrays(collect_list(col(valCol)),
-              collect_list(col("links"))).as(outName))
-        }
+        // Round-7: one direction-tagged pass instead of two windows + two
+        // joins — the per-direction top-K runs in a single (dir, host)
+        // window, both histogram maps aggregate in one groupBy (the
+        // paired collect_lists see rows in the same order and null out
+        // the same rows, so key/value alignment is preserved exactly as
+        // in the per-direction form), and stats joins the histograms
+        // once. A host with links in only one direction gets an empty
+        // map either way (map_from_arrays of empty lists == the coalesce
+        // default).
+        val tagged = pairs
+          .select(col("srcHost").as("host"), col("dstHost").as("other"),
+            lit("out").as("dir"), col("links"))
+          .unionByName(pairs
+            .select(col("dstHost").as("host"), col("srcHost").as("other"),
+              lit("in").as("dir"), col("links")))
+        val wDir = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("dir"), col("host"))
+          .orderBy(col("links").desc, col("other").asc)
+        val hists = tagged
+          .withColumn("rn", row_number().over(wDir))
+          .filter(col("rn") <= hostLinkTopK)
+          .groupBy(col("host"))
+          .agg(
+            map_from_arrays(
+              collect_list(when(col("dir") === "out", col("other"))),
+              collect_list(when(col("dir") === "out", col("links"))))
+              .as("outHist"),
+            map_from_arrays(
+              collect_list(when(col("dir") === "in", col("other"))),
+              collect_list(when(col("dir") === "in", col("links"))))
+              .as("inHist"))
         val emptyHist = map().cast("map<string,bigint>")
         val joined = stats.toDF()
-          .join(topK("srcHost", "dstHost", "outHist"), Seq("host"),
-            "left_outer")
-          .join(topK("dstHost", "srcHost", "inHist"), Seq("host"),
-            "left_outer")
+          .join(hists, Seq("host"), "left_outer")
           .withColumn("outLinkHosts",
             coalesce(col("outHist"), emptyHist))
           .withColumn("inLinkHosts", coalesce(col("inHist"), emptyHist))

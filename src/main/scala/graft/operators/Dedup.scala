@@ -276,7 +276,8 @@ object Dedup {
     * for every node incident to an edge, component = MIN node id of its
     * component (callers coalesce isolated nodes to themselves).
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 30,
+      driverCap: Long = 100000L): DataFrame = {
     def canon(e: DataFrame): DataFrame =
       e.filter(col("u") =!= col("v")).dropDuplicates("u", "v")
     // large-star: every node v strictly larger than u re-attaches to
@@ -327,10 +328,54 @@ object Dedup {
       if (e.sparkSession.sparkContext.getCheckpointDir.isDefined)
         e.checkpoint(eager = false)
       else e.localCheckpoint(eager = false)
-    var cur = ckpt(canon(edges.select(
+    val canonEdges = canon(edges.select(
       col(edges.columns(0)).cast("long").as("u"),
-      col(edges.columns(1)).cast("long").as("v"))))
+      col(edges.columns(1)).cast("long").as("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Round-7 small-graph fast path: below `driverCap` edges (hard cap,
+    // ~1.6 MB at the default — the same bounded-driver-sample pattern as
+    // the IVF/PQ trainers and the capped exact near-dup scan), run
+    // union-find on the driver instead of O(log n) star ROUNDS of Spark
+    // jobs: each round costs 4-6 exchanges + a checkpoint action, which
+    // at near-dup-pair edge counts (tens to thousands) is pure scheduler
+    // overhead. Labels are identical by construction: component = MIN
+    // node id, order-independent. Graphs above the cap take the
+    // unchanged large-star/small-star path.
+    val edgeCount = canonEdges.count()
+    if (edgeCount <= driverCap) {
+      val es = canonEdges.as[(Long, Long)](
+        org.apache.spark.sql.Encoders.product[(Long, Long)]).collect()
+      canonEdges.unpersist()
+      val parent = scala.collection.mutable.LongMap[Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val nxt = parent.getOrElse(c, c); parent(c) = r; c = nxt
+        }
+        r
+      }
+      es.foreach { case (u, v) =>
+        val ru = find(u); val rv = find(v)
+        if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+      }
+      val nodes = es.iterator.flatMap(e => Iterator(e._1, e._2)).toArray
+        .distinct
+      val minOfRoot = scala.collection.mutable.LongMap[Long]()
+      nodes.foreach { n =>
+        val r = find(n)
+        minOfRoot(r) = math.min(minOfRoot.getOrElse(r, n), n)
+      }
+      val rows = nodes.map(n => (n, minOfRoot(find(n))))
+      val s = edges.sparkSession
+      import s.implicits._
+      return s.createDataset(scala.collection.immutable.ArraySeq
+        .unsafeWrapArray(rows)).toDF("node", "component")
+    }
+    var cur = ckpt(canonEdges)
     var lastSum = checksum(cur)
+    canonEdges.unpersist()
     var it = 0
     var converged = false
     while (it < maxIter && !converged) {

@@ -362,12 +362,18 @@ class OperatorsSpec extends AnyFunSuite {
     import spark.implicits._
     val edges = ((0L until 40L).map(i => (i, i + 1)) ++
       Seq((100L, 101L), (101L, 102L))).toDF("src", "dst")
-    val noDir = Dedup.connectedComponents(edges)
+    // driverCap = 0 forces the distributed star-rounds path (the subject
+    // of this test); the default-cap call exercises the round-7 driver
+    // union-find fast path — labels must agree across all three
+    val noDir = Dedup.connectedComponents(edges, driverCap = 0L)
       .as[(Long, Long)].collect().toMap
+    val fastPath = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(fastPath === noDir)
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
     try {
       spark.sparkContext.setCheckpointDir(dir.toString)
-      val withDir = Dedup.connectedComponents(edges)
+      val withDir = Dedup.connectedComponents(edges, driverCap = 0L)
         .as[(Long, Long)].collect().toMap
       assert(withDir === noDir)
       // the reliable path actually wrote checkpoint state
