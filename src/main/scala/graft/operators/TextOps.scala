@@ -331,12 +331,15 @@ object TextOps {
   def boilerplateNgrams(s: SparkSession, dir: String, n: Int = 2,
       minDocs: Int = 5): DataFrame = {
     // Round-7: materialize the token array ONCE per row in its own
-    // projection. The previous form referenced `tokensCol(text)` inside
+    // projection. The round-6 form referenced `tokensCol(text)` inside
     // the transform() lambda, and Spark evaluates lambda bodies per
     // element without hoisting loop invariants — split+filter re-ran per
     // SEGMENT, O(tokens^2) per document (driver-measured 18 s at sf0.1;
-    // linear form ~1 s). CollapseProject keeps the two projections
-    // separate because `ws` is referenced more than once.
+    // this form ~1 s warm). CollapseProject keeps the two projections
+    // separate because `ws` is referenced more than once. (A typed
+    // flatMap segmentation was also tried for the residual one-shot cold
+    // cost — no measurable difference: the cold gap is generic first-run
+    // JIT, not this expression chain.)
     val nSegs = floor(size(col("ws")) / n).cast("int")
     val segs = when(nSegs > 0,
       transform(sequence(lit(0), nSegs - 1),
