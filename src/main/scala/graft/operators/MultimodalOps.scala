@@ -319,7 +319,11 @@ object MultimodalOps {
     * bit_count(xor) verify within candidates. Any pair within Hamming
     * distance 3 shares a band by pigeonhole; re-encoded/brightened
     * copies land 0-2 bits apart, so banding recall is structural, not
-    * probabilistic.
+    * probabilistic. NOTE (recall contract): with 4 bands the pigeonhole
+    * guarantee covers distance <= 3 only — candidates at distance 4
+    * through `maxHamming` surface solely on lucky band collisions, so
+    * the output is "all pairs within 3 bits, plus band-colliding pairs
+    * up to maxHamming", not the full <=maxHamming pair set.
     *
     * 100 TB shape: the only shuffle keys are (band, 16-bit value) — pair
     * work is bounded by bucket occupancy exactly like the simhash text
