@@ -204,6 +204,13 @@ object Dedup {
     val members = hashes.select(
       keyCols ++ Seq(col(hCol).as("h"), col(idCol).as("id")): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the cache EAGERLY: AQE compiles the five consumer
+    // branches into concurrent stage-jobs (broadcast builds run as
+    // parallel jobs), and concurrent scans of a COLD cache each
+    // recompute its partitions — measured 6x the corpus decode per
+    // action on the video path. One tiny count serializes the fill;
+    // every branch then reads the cache.
+    members.count()
     val distinctH = members.select(keyCols :+ col("h"): _*).distinct()
     val banded = distinctH.select(
       keyCols ++ Seq(col("h"), posexplode(array((0 until 4).map(b =>
@@ -213,32 +220,46 @@ object Dedup {
       keyCols ++ Seq(col("band"), col("bkey"), col("h").as("h_a")): _*)
     val b = banded.select(
       keyCols ++ Seq(col("band"), col("bkey"), col("h").as("h_b")): _*)
+    // a hash pair within hamming <= bands-1 collides in >= 1 of the 4
+    // bands; keep it exactly ONCE by keeping only its FIRST colliding
+    // band — a pure expression over (h_a, h_b), replacing the former
+    // dropDuplicates exchange (one fewer shuffle, same pair set: the
+    // first colliding band exists for every emitted row by construction)
+    def slice(c: org.apache.spark.sql.Column, bnd: Int) =
+      shiftrightunsigned(c, bnd * 16).bitwiseAND(lit(0xFFFFL))
+    val firstBand = (0 until 4).map { bp =>
+      when(col("band") > bp, slice(col("h_a"), bp) =!= slice(col("h_b"), bp))
+        .otherwise(lit(true))
+    }.reduce(_ && _)
     val hashPairs = a.join(b, extraKeys ++ Seq("band", "bkey"))
       .filter(col("h_a") < col("h_b"))
+      .filter(firstBand)
       .select(keyCols ++ Seq(col("h_a"), col("h_b")): _*)
-      .dropDuplicates(extraKeys ++ Seq("h_a", "h_b"))
       .withColumn("hamming",
         bit_count(col("h_a").bitwiseXOR(col("h_b"))))
       .filter(col("hamming") <= maxHamming)
-    val inter = hashPairs
+    // member expansion: near-dup hash pairs (h_a < h_b) PLUS one
+    // (h, h, hamming=0) row per distinct hash — the latter expands to
+    // the intra (exact-duplicate) pairs through the SAME two joins, so
+    // the former separate members-self-join disappears. Singleton
+    // hashes only produce ia == ib rows, removed by the filter; a pair
+    // cannot surface through both arms (its unordered hash pair is
+    // either equal or not), so no dedup is needed — exactly the former
+    // inter/intra union.
+    val pairsAll = hashPairs.unionByName(distinctH.select(
+      keyCols ++ Seq(col("h").as("h_a"), col("h").as("h_b"),
+        lit(0).as("hamming")): _*))
+    pairsAll
       .join(members.select(
         keyCols ++ Seq(col("h").as("h_a"), col("id").as("ia")): _*),
         extraKeys :+ "h_a")
       .join(members.select(
         keyCols ++ Seq(col("h").as("h_b"), col("id").as("ib")): _*),
         extraKeys :+ "h_b")
+      .filter(col("h_a") =!= col("h_b") || col("ia") < col("ib"))
       .select(Seq(least(col("ia"), col("ib")).as("id_a"),
         greatest(col("ia"), col("ib")).as("id_b"),
         col("hamming")) ++ keyCols: _*)
-    val intra = members
-      .select(keyCols ++ Seq(col("h"), col("id").as("ia")): _*)
-      .join(members.select(
-        keyCols ++ Seq(col("h"), col("id").as("ib")): _*),
-        extraKeys :+ "h")
-      .filter(col("ia") < col("ib"))
-      .select(Seq(col("ia").as("id_a"), col("ib").as("id_b"),
-        lit(0).as("hamming")) ++ keyCols: _*)
-    inter.unionByName(intra)
   }
 
   /** SimHash near-dup pairs: 4 bands of 16 bits as bucket keys (any pair

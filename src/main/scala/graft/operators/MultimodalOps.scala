@@ -416,11 +416,17 @@ object MultimodalOps {
   def videoPhashDup(media: Dataset[MediaRow], maxHamming: Int = 10)
       : DataFrame = {
     import media.sparkSession.implicits._
+    // persisted: `frames` (demux + per-frame decode + phash — the
+    // expensive narrow pass) feeds BOTH the banded pair join and the
+    // nFrames majority denominator; without the cache the second
+    // consumer re-renders/demuxes/decodes the whole corpus. Narrow
+    // (vid, frame_idx, hash) rows — payload bytes are never cached.
     val frames = media.filter(_.kind == "video").flatMap { r =>
       MediaCodec.parseAviFrames(r.bytes).zipWithIndex.map {
         case (fb, idx) => (r.media_id, idx, ImageCodec.phashOfBytes(fb))
       }
     }.toDF("vid", "frame_idx", "ph")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nFrames = frames.groupBy(col("vid"))
       .agg(count(lit(1)).as("n_frames"))
     // round-7 hot-bucket guard: banding over DISTINCT (frame_idx, hash)
