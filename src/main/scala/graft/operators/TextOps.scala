@@ -345,11 +345,19 @@ object TextOps {
       transform(sequence(lit(0), nSegs - 1),
         i => array_join(slice(col("ws"), i * n + lit(1), lit(n)), " ")))
       .otherwise(array())
+    // Round-7 second cut: dedupe segments PER DOCUMENT in the array
+    // (array_distinct — an O(segments) hash set per row) before the
+    // explode, so each doc contributes each segment exactly once and
+    // count(*) == countDistinct(doc_id). countDistinct planned as TWO
+    // exchanges (partial dedup on (seg, doc_id), then recount on seg);
+    // this is ONE exchange with map-side partial aggregation (§2.3
+    // aggregate-before-shuffle + §2.4), and the shuffle carries (seg,
+    // partial count) instead of every (seg, doc_id) pair.
     docs(s, dir)
       .select(col("doc_id"), tokensCol(col("text")).as("ws"))
-      .select(col("doc_id"), explode(segs).as("seg"))
+      .select(explode(array_distinct(segs)).as("seg"))
       .groupBy(col("seg"))
-      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
   }
 
